@@ -1,0 +1,142 @@
+"""Graph layer: dense id minting, edge maintenance, delta algebra.
+
+Replaces the reference's Redis keyIndex/follows/followers machinery
+(reference pkg/database/redisdb/database.go) with three DataFrames:
+nodes(node_id,url,status,...), edges(src,dst) and column-wise delta
+algebra. Reverse adjacency is never materialized — it's
+edges.groupBy(dst) (the reference keeps followers:<id> sets only for
+FollowerCounts, database.go:370-376).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import schemas
+
+
+def mint_node_ids(
+    nodes: DataFrame | None,
+    candidate_urls: DataFrame,
+    status: str = schemas.STATUS_INACTIVE,
+    added_ts: _dt.datetime | None = None,
+) -> DataFrame:
+    """M12 / resolveIDs (reference pkg/crawler/process.go:171-220,
+    pkg/database/redisdb/database.go:179-210): assign dense ids to urls
+    not yet in `nodes`.
+
+    The reference mints via a mutable Redis counter and tolerates holes
+    (database.go:193-199); here ids are `max_id + row_number() over
+    (order by url)` — deterministic, gap-free, partition-invariant.
+    Returns the NEW node rows only (caller unions into nodes).
+
+    The row_number runs only over the (small) batch of new urls — a
+    single-partition window over the discovery batch, not the corpus.
+    """
+    cand = candidate_urls.select("url").distinct()
+    if nodes is not None:
+        cand = cand.join(nodes.select("url"), "url", "left_anti")
+        max_id = (nodes.agg(F.max("node_id")).first()[0] or -1) + 1
+    else:
+        max_id = 0
+    w = Window.orderBy("url")
+    ts = F.lit(added_ts).cast("timestamp") if added_ts else F.current_timestamp()
+    return cand.select(
+        (F.lit(max_id) + F.row_number().over(w) - 1).alias("node_id"),
+        "url",
+        F.lit(status).alias("status"),
+        ts.alias("added_ts"),
+        F.lit(None).cast("timestamp").alias("promoted_ts"),
+        F.lit(None).cast("timestamp").alias("demoted_ts"),
+    )
+
+
+def nodes_from_urls(
+    spark, urls: list[str], status: str = schemas.STATUS_ACTIVE,
+    added_ts: _dt.datetime | None = None,
+) -> DataFrame:
+    """S9 bootstrap: seed-list -> initial nodes table
+    (reference NewDatabaseFromPubkeys,
+    pkg/database/redisdb/database.go:576-589)."""
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    return mint_node_ids(None, df, status=status, added_ts=added_ts)
+
+
+def edges_from_follow_lists(follow_lists: DataFrame) -> DataFrame:
+    """(node_id, follows: array<long>) -> (src, dst) edge rows."""
+    return follow_lists.select(
+        F.col("node_id").alias("src"), F.explode("follows").alias("dst")
+    )
+
+
+def adjacency_lists(edges: DataFrame) -> DataFrame:
+    """J2 bulk Follows: (src, follows: array<long> SORTED).
+
+    Sorted so the uniform-random follow choice is well-defined and
+    partition-invariant (the reference reads Redis SMembers, which is
+    unordered — its tests sort before comparing)."""
+    return edges.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("follows"))
+
+
+def delta_partition(old_new: DataFrame) -> DataFrame:
+    """T3 sliceutils.Partition (reference
+    pkg/utils/sliceutils/slice.go:74-105), column-wise and shuffle-free:
+    input (node_id, old_follows, new_follows) -> DELTAS rows with
+    removed = old-new, common = old∩new, added = new-old (each sorted,
+    matching the reference's sorted-merge output order)."""
+    old = F.coalesce(F.col("old_follows"), F.array().cast("array<long>"))
+    new = F.coalesce(F.col("new_follows"), F.array().cast("array<long>"))
+    return old_new.select(
+        "node_id",
+        F.sort_array(F.array_except(old, new)).alias("removed"),
+        F.sort_array(F.array_intersect(old, new)).alias("common"),
+        F.sort_array(F.array_except(new, old)).alias("added"),
+    )
+
+
+def apply_deltas(edges: DataFrame, deltas: DataFrame) -> DataFrame:
+    """T5: apply graph deltas to the edge table (reference DB.Update,
+    pkg/database/redisdb/database.go:258-283 — SRem removed, SAdd added,
+    mirrored; we have no mirror to maintain).
+
+    Expressed as anti-join(removals) ∪ additions. At cluster scale both
+    sides are bucketed by src so this rewrites only affected buckets
+    (MERGE-shaped); delta cardinality is tiny next to |edges|, so the
+    anti-join broadcasts."""
+    removed = deltas.select(
+        F.col("node_id").alias("src"), F.explode("removed").alias("dst")
+    )
+    added = deltas.select(
+        F.col("node_id").alias("src"), F.explode("added").alias("dst")
+    )
+    kept = edges.join(removed.hint("broadcast"), ["src", "dst"], "left_anti")
+    return kept.unionByName(added)
+
+
+def follow_counts(edges: DataFrame) -> DataFrame:
+    """A5 FollowCounts (out-degree) — reference
+    pkg/database/redisdb/database.go:370-412."""
+    return edges.groupBy(F.col("src").alias("node_id")).agg(
+        F.count("*").alias("follow_count")
+    )
+
+
+def follower_counts(edges: DataFrame) -> DataFrame:
+    """A5 FollowerCounts (in-degree) via groupBy(dst) — no mirror table."""
+    return edges.groupBy(F.col("dst").alias("node_id")).agg(
+        F.count("*").alias("follower_count")
+    )
+
+
+def resolve_ids(urls_df: DataFrame, nodes: DataFrame, how: str = "left") -> DataFrame:
+    """P2 NodeIDs bulk url->id (reference database.go:416-447): left
+    join keeps a null node_id for unknown urls (the reference's nil)."""
+    return urls_df.join(nodes.select("url", "node_id"), "url", how)
+
+
+def urls_of(ids_df: DataFrame, nodes: DataFrame) -> DataFrame:
+    """P3 Pubkeys bulk id->url (reference database.go:451-485)."""
+    return ids_df.join(nodes.select("node_id", "url"), "node_id", "left")

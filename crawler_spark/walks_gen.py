@@ -1,0 +1,383 @@
+"""Random-walk generation — M1/M2/M3 of the operator inventory.
+
+Reference semantics (pkg/walks/generate.go:143-204), per walk from a
+start node s:
+    walk = [s]
+    loop: stop with prob (1-alpha); pick a uniform-random follow of the
+    current node (stop if dangling); stop if the pick is already in the
+    walk (cycle break, generate.go:129-134); else append.
+
+Spark-first execution, two interchangeable physical strategies that
+produce IDENTICAL walks (randomness is counter-based, rng.py, keyed by
+(seed, walk_id, step) — partition- and strategy-invariant):
+
+ - 'broadcast': the adjacency fits comfortably in an executor (CSR of
+   two numpy arrays, ~12B/edge); broadcast it and run every walk to
+   completion inside one mapInPandas pass — zero shuffles after the
+   adjacency build, perfectly parallel over walk ranges. This is the
+   single-node-beating fast path up to O(10^8) edges.
+ - 'iterative': Pregel-style; per super-step, join live walk heads
+   against the adjacency table (shuffle on head) and advance one step
+   with a vectorized Arrow UDF; finished walks leave the loop. This is
+   the 10^10-edge path: the per-step 1-row Redis RPC of the reference
+   becomes one co-partitioned join per super-step over ALL live walks.
+   localCheckpoint per super-step truncates lineage (iterative-Spark
+   pitfall).
+
+Walk ids are minted deterministically: offset + dense_rank(start)*wpn+k
+(the reference's mutable HIncrBy counter, store.go:331-340, replaced by
+reproducible arithmetic).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import rng
+from .schemas import DEFAULT_ALPHA, DEFAULT_WALKS_PER_NODE, WALKS
+
+# above this many edges, don't broadcast the adjacency
+BROADCAST_EDGE_LIMIT = 30_000_000
+
+
+@dataclass
+class CSR:
+    """Compressed sparse adjacency with SORTED neighbor lists."""
+
+    srcs: np.ndarray  # sorted unique source ids
+    indptr: np.ndarray  # len(srcs)+1
+    targets: np.ndarray  # concatenated sorted neighbor lists
+
+    @classmethod
+    def from_pairs(cls, src: np.ndarray, dst: np.ndarray) -> "CSR":
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        srcs, starts = np.unique(src, return_index=True)
+        indptr = np.append(starts, len(src)).astype(np.int64)
+        return cls(srcs, indptr, dst.astype(np.int64))
+
+    def lookup(self, ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(degree, start offset) for each id; degree 0 when absent."""
+        if len(self.srcs) == 0:
+            z = np.zeros(len(ids), dtype=np.int64)
+            return z, z.copy()
+        pos = np.searchsorted(self.srcs, ids)
+        pos_c = np.clip(pos, 0, len(self.srcs) - 1)
+        has = (len(self.srcs) > 0) & (self.srcs[pos_c] == ids) & (pos < len(self.srcs))
+        start = np.where(has, self.indptr[pos_c], 0)
+        deg = np.where(has, self.indptr[pos_c + 1] - self.indptr[pos_c], 0)
+        return deg.astype(np.int64), start.astype(np.int64)
+
+    def follows(self, node_id: int) -> np.ndarray:
+        deg, start = self.lookup(np.asarray([node_id]))
+        return self.targets[start[0] : start[0] + deg[0]]
+
+
+def collect_csr(edges: DataFrame) -> CSR:
+    pdf = edges.select("src", "dst").toPandas()
+    return CSR.from_pairs(
+        pdf["src"].to_numpy(np.int64), pdf["dst"].to_numpy(np.int64)
+    )
+
+
+class _Paths:
+    """Growable (n, width) int64 path matrix padded with -1."""
+
+    def __init__(self, starts: np.ndarray, width: int = 8):
+        n = len(starts)
+        self.mat = np.full((n, width), -1, dtype=np.int64)
+        self.mat[:, 0] = starts
+        self.lens = np.ones(n, dtype=np.int64)
+
+    @classmethod
+    def from_lists(cls, paths: list) -> "_Paths":
+        lens = np.fromiter((len(p) for p in paths), np.int64, len(paths))
+        width = max(8, int(lens.max()) + 1) if len(paths) else 8
+        p = cls.__new__(cls)
+        p.mat = np.full((len(paths), width), -1, dtype=np.int64)
+        for i, pa in enumerate(paths):
+            p.mat[i, : len(pa)] = pa
+        p.lens = lens
+        return p
+
+    def append(self, rows: np.ndarray, vals: np.ndarray) -> None:
+        need = int(self.lens[rows].max()) + 1
+        if need > self.mat.shape[1]:
+            extra = np.full(
+                (self.mat.shape[0], max(need, 2 * self.mat.shape[1]) - self.mat.shape[1]),
+                -1,
+                dtype=np.int64,
+            )
+            self.mat = np.concatenate([self.mat, extra], axis=1)
+        self.mat[rows, self.lens[rows]] = vals
+        self.lens[rows] += 1
+
+    def to_lists(self) -> list:
+        return [self.mat[i, : self.lens[i]].tolist() for i in range(len(self.lens))]
+
+
+def advance_walks(
+    walk_ids: np.ndarray,
+    paths: _Paths,
+    csr: CSR,
+    alpha: float,
+    seed: int,
+    alive: np.ndarray | None = None,
+    max_steps: int | None = None,
+) -> np.ndarray:
+    """Advance walks in place until stopped (or max_steps). Returns the
+    final alive mask. One loop iteration = one walk step, fully
+    vectorized over the batch; RNG draws are keyed (seed, walk_id,
+    step, stream) with step = len(path)-1 at decision time, so the
+    result is independent of batching."""
+    alive = np.ones(len(walk_ids), dtype=bool) if alive is None else alive.copy()
+    steps = 0
+    while alive.any() and (max_steps is None or steps < max_steps):
+        rows = np.where(alive)[0]
+        step_idx = paths.lens[rows] - 1
+        # stop with probability 1-alpha (reference generate.go:156-158)
+        coin = rng.u01(seed, walk_ids[rows], step_idx, 0)
+        stopped = coin > alpha
+        alive[rows[stopped]] = False
+        rows = rows[~stopped]
+        if rows.size:
+            cur = paths.mat[rows, paths.lens[rows] - 1]
+            deg, start = csr.lookup(cur)
+            dang = deg == 0  # dangling stop (generate.go:189-193)
+            alive[rows[dang]] = False
+            rows, deg, start = rows[~dang], deg[~dang], start[~dang]
+        if rows.size:
+            step_idx = paths.lens[rows] - 1
+            idx = rng.randint(deg, seed, walk_ids[rows], step_idx, 1)
+            nxt = csr.targets[start + idx]
+            # cycle stop (generate.go:198-201); -1 padding never matches
+            cyc = (paths.mat[rows] == nxt[:, None]).any(axis=1)
+            alive[rows[cyc]] = False
+            rows, nxt = rows[~cyc], nxt[~cyc]
+            if rows.size:
+                paths.append(rows, nxt)
+        steps += 1
+    return alive
+
+
+def _walk_seed_df(
+    starts: DataFrame, walks_per_node: int, walk_id_offset: int
+) -> DataFrame:
+    """(walk_id, start_id) seeds: dense_rank(start)*wpn + k + offset."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("node_id")
+    ranked = starts.select("node_id").distinct().withColumn(
+        "idx", F.row_number().over(w) - 1
+    )
+    return ranked.select(
+        F.col("node_id").alias("start_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("k"),
+        "idx",
+    ).select(
+        (F.lit(walk_id_offset) + F.col("idx") * walks_per_node + F.col("k")).alias(
+            "walk_id"
+        ),
+        "start_id",
+    )
+
+
+def generate_walks(
+    spark: SparkSession,
+    edges: DataFrame,
+    starts: DataFrame,
+    alpha: float = DEFAULT_ALPHA,
+    walks_per_node: int = DEFAULT_WALKS_PER_NODE,
+    seed: int = 42,
+    walk_id_offset: int = 0,
+    strategy: str = "auto",
+    partitions: int | None = None,
+) -> DataFrame:
+    """M2 generateWalks / GenerateAll (reference generate.go:87-123):
+    walks_per_node walks from every node in `starts` (node_id column).
+    Returns a WALKS DataFrame."""
+    seeds = _walk_seed_df(starts, walks_per_node, walk_id_offset)
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    if strategy == "auto":
+        n_edges = edges.count()
+        strategy = "broadcast" if n_edges <= BROADCAST_EDGE_LIMIT else "iterative"
+    if strategy == "broadcast":
+        return _generate_broadcast(spark, edges, seeds, alpha, seed, partitions)
+    return _generate_iterative(spark, edges, seeds, alpha, seed, partitions)
+
+
+def _generate_broadcast(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: DataFrame,
+    alpha: float,
+    seed: int,
+    partitions: int,
+) -> DataFrame:
+    csr = collect_csr(edges)
+    bc = spark.sparkContext.broadcast(csr)
+
+    def gen(batches):
+        local = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            wids = pdf["walk_id"].to_numpy(np.int64)
+            starts_arr = pdf["start_id"].to_numpy(np.int64)
+            paths = _Paths(starts_arr)
+            advance_walks(wids, paths, local, alpha, seed)
+            yield pd.DataFrame(
+                {
+                    "walk_id": wids,
+                    "start_id": starts_arr,
+                    "path": paths.to_lists(),
+                }
+            )
+
+    return seeds.repartition(partitions, "walk_id").mapInPandas(gen, schema=WALKS)
+
+
+def _generate_iterative(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: DataFrame,
+    alpha: float,
+    seed: int,
+    partitions: int,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Pregel-style super-steps: join live heads with adjacency lists,
+    advance one step per join via a vectorized Arrow UDF."""
+    from .graph import adjacency_lists
+    from pyspark.sql.types import (
+        ArrayType, BooleanType, LongType, StructField, StructType,
+    )
+
+    adj = adjacency_lists(edges).withColumnRenamed("src", "head")
+    adj = adj.repartition(partitions, "head").cache()
+    state_schema = StructType(
+        [
+            StructField("walk_id", LongType()),
+            StructField("start_id", LongType()),
+            StructField("path", ArrayType(LongType())),
+            StructField("alive", BooleanType()),
+        ]
+    )
+
+    def one_step(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            wids = pdf["walk_id"].to_numpy(np.int64)
+            paths = [np.asarray(p, dtype=np.int64) for p in pdf["path"]]
+            follows = pdf["follows"]
+            out_paths, alive_out = [], []
+            step_idx = np.fromiter((len(p) - 1 for p in paths), np.int64, len(paths))
+            coin = rng.u01(seed, wids, step_idx, 0)
+            for i in range(len(wids)):
+                p = paths[i]
+                if coin[i] > alpha:
+                    out_paths.append(p.tolist()); alive_out.append(False); continue
+                fl = follows.iloc[i]
+                if fl is None or len(fl) == 0:
+                    out_paths.append(p.tolist()); alive_out.append(False); continue
+                fl = np.asarray(fl, dtype=np.int64)
+                idx = int(rng.randint(len(fl), seed, wids[i], step_idx[i], 1))
+                nxt = int(fl[idx])
+                if (p == nxt).any():
+                    out_paths.append(p.tolist()); alive_out.append(False); continue
+                out_paths.append(np.append(p, nxt).tolist()); alive_out.append(True)
+            yield pd.DataFrame(
+                {
+                    "walk_id": wids,
+                    "start_id": pdf["start_id"].to_numpy(np.int64),
+                    "path": out_paths,
+                    "alive": alive_out,
+                }
+            )
+
+    state = seeds.select(
+        "walk_id",
+        "start_id",
+        F.array("start_id").cast("array<long>").alias("path"),
+        F.lit(True).alias("alive"),
+    ).repartition(partitions, "walk_id")
+    finished_parts: list[DataFrame] = []
+    it = 0
+    while True:
+        live = state.filter("alive")
+        joined = live.withColumn("head", F.element_at("path", -1)).join(
+            adj, "head", "left"
+        ).select("walk_id", "start_id", "path", "follows")
+        state = joined.mapInPandas(one_step, schema=state_schema)
+        state = state.localCheckpoint(eager=True) if it % checkpoint_every == 0 else state.persist()
+        n_alive = state.filter("alive").count()
+        finished_parts.append(state.filter(~F.col("alive")).select(
+            "walk_id", "start_id", "path"
+        ))
+        if n_alive == 0:
+            break
+        state = state.filter("alive")
+        it += 1
+
+    out = finished_parts[0]
+    for p in finished_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---- walk store maintenance (M3/M4/M9, A1/A2) ----
+
+
+def visits_of(walks: DataFrame) -> DataFrame:
+    """Inverted walk index (reference walksVisiting:<id> sets,
+    docs/store_design.md:53-59) — always derivable as explode(path)."""
+    return walks.select(
+        F.explode("path").alias("node_id"), F.col("walk_id")
+    )
+
+
+def visit_counts(walks: DataFrame) -> DataFrame:
+    """A1 VisitCounts (reference store.go:169-194): per-node number of
+    walks visiting it. Partial aggregation is automatic (map-side
+    combine); one shuffle on node_id."""
+    return visits_of(walks).groupBy("node_id").agg(F.count("*").alias("visits"))
+
+
+def total_visits(walks: DataFrame) -> int:
+    """A2 TotalVisits (reference store.go:129-145) — recomputed, not a
+    mutable counter: sum of path lengths."""
+    row = walks.agg(F.sum(F.size("path"))).first()
+    return int(row[0] or 0)
+
+
+def add_walks(walks: DataFrame, new_walks: DataFrame) -> DataFrame:
+    """M3 AddWalks (reference store.go:315-358) — append."""
+    return walks.unionByName(new_walks)
+
+
+def remove_walks(walks: DataFrame, walk_ids: DataFrame) -> DataFrame:
+    """M4 RemoveWalks (reference store.go:362-411) — anti-join on id."""
+    return walks.join(walk_ids.select("walk_id").hint("broadcast"), "walk_id", "left_anti")
+
+
+def remove_walks_starting_at(walks: DataFrame, node_ids: DataFrame) -> DataFrame:
+    """M9 walks.Remove (reference generate.go:207-234): drop walks that
+    ORIGINATE at the given nodes (element_at(path,1) == start)."""
+    return walks.join(
+        node_ids.select(F.col("node_id").alias("_rm")).hint("broadcast"),
+        F.element_at("path", 1) == F.col("_rm"),
+        "left_anti",
+    )
+
+
+def next_walk_id(walks: DataFrame) -> int:
+    """Deterministic replacement for the reference's lastWalkID counter."""
+    row = walks.agg(F.max("walk_id")).first()
+    return int(row[0] if row[0] is not None else -1) + 1

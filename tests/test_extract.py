@@ -1,0 +1,62 @@
+"""Extraction gates: byte-identical text per url (input_hint invariant)
+and ParsePubkeys link semantics (reference pkg/crawler/process.go:227-255)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from crawler_spark import datagen
+from crawler_spark.functions import extract
+
+
+def test_extract_text_byte_identical(spark):
+    fx = datagen.FIXTURES["acyclic1"]
+    pages = datagen.pages_df(spark, fx.follows)
+    bad = pages.withColumn("etext", extract.extract_text("html")).filter(
+        (F.col("etext") != F.col("text")) | F.col("etext").isNull()
+    )
+    assert bad.count() == 0
+
+
+def test_extract_links_match_fixture_edges(spark):
+    fx = datagen.FIXTURES["acyclic1"]
+    pages = datagen.pages_df(spark, fx.follows)
+    got = {
+        r["url"]: r["links"]
+        for r in pages.withColumn(
+            "links", extract.extract_links("html", "url")
+        ).select("url", "links").collect()
+    }
+    for i, ds in fx.follows.items():
+        assert got[datagen.node_url(i)] == sorted(datagen.node_url(j) for j in ds)
+
+
+def test_self_link_dropped_and_dedup():
+    url = "https://nodeX.test/"
+    html = datagen.render_html(
+        url, "t", [url, "https://a.test/", "https://a.test/", "https://b.test/"]
+    )
+    links = extract._links_one(html, url)
+    assert links == ["https://a.test/", "https://b.test/"]
+
+
+def test_outlink_cap_skips_page():
+    # >100k anchors -> page skipped entirely (reference returns nil)
+    url = "https://nodeX.test/"
+    links = [f"https://l{i}.test/" for i in range(100_001)]
+    html = datagen.render_html(url, "t", links)
+    assert extract._links_one(html, url) == []
+
+
+def test_is_valid_url(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"u": ["https://ok.test/", "http://ok.test", "ftp://no", "https://", None]}
+        )
+    )
+    got = [r[0] for r in df.select(extract.is_valid_url(F.col("u"))).collect()]
+    assert got == [True, True, False, False, None] or got == [True, True, False, False, False]
+
+
+def test_url_host(spark):
+    df = spark.createDataFrame(pd.DataFrame({"u": ["https://host3.test/p9"]}))
+    assert df.select(extract.url_host(F.col("u"))).first()[0] == "host3.test"
