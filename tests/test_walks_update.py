@@ -1,0 +1,207 @@
+"""Incremental-repair gates — the reference's dynamic pagerank tests
+(tests/algos/pagerank_test.go:94-177): apply a delta then its inverse
+via walks.Update; the walk-visit distribution must return to the
+fixture's analytic scores within L1 0.01. Plus the update fuzz
+invariant (pkg/walks/update_test.go:420-470): after updating every
+node to a second random graph, all walks are valid in the new graph.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark import datagen, graph, rank, walks_gen, walks_update
+
+TOL = 0.01
+WPN = 5000
+
+
+def _edges_df(spark, follows):
+    rows = [(s, d) for s, ds in follows.items() for d in ds]
+    if rows:
+        return spark.createDataFrame(rows, schema="src long, dst long")
+    return spark.createDataFrame([], schema="src long, dst long")
+
+
+def _starts_df(spark, follows):
+    return spark.createDataFrame([(i,) for i in sorted(follows)], "node_id long")
+
+
+def _expected_df(spark, expected):
+    return spark.createDataFrame(
+        [(int(k), float(v)) for k, v in expected.items()], "node_id long, rank double"
+    )
+
+
+def _apply(follows, node, removed, added):
+    new = dict(follows)
+    new[node] = sorted((set(follows[node]) - set(removed)) | set(added))
+    return new
+
+
+def _delta_tuple(follows, node, removed, added):
+    common = sorted(set(follows[node]) - set(removed))
+    return (node, sorted(removed), common, sorted(added))
+
+
+# one representative delta per fixture keeps runtime sane; the chosen
+# indices exercise removal-only, addition-only and mixed deltas
+CASES = [
+    ("dandlings", 0), ("dandlings", 3),
+    ("acyclic1", 0), ("acyclic1", 3), ("acyclic1", 9), ("acyclic1", 16),
+    ("acyclic2", 2), ("acyclic2", 7),
+    ("acyclic3", 3), ("acyclic3", 6),
+    ("acyclic4", 1), ("acyclic4", 4),
+    ("cyclic_long50", 2),
+]
+
+
+@pytest.mark.parametrize("name,di", CASES)
+def test_delta_then_inverse_restores_distribution(spark, name, di):
+    fx = datagen.FIXTURES[name]
+    node, removed, added = fx.deltas[di]
+    follows0 = fx.follows
+    follows1 = _apply(follows0, node, removed, added)
+
+    walks = walks_gen.generate_walks(
+        spark, _edges_df(spark, follows0), _starts_df(spark, follows0),
+        walks_per_node=WPN, seed=42, strategy="broadcast",
+    ).localCheckpoint()
+
+    # forward delta
+    d1 = _delta_tuple(follows0, node, removed, added)
+    e1 = _edges_df(spark, follows1)
+    walks = walks_update.finish_update(
+        walks_update.update_walks(spark, walks, e1, [d1], seed=42, epoch=1)
+    ).localCheckpoint()
+
+    # inverse delta (helpers.go:22-29): removed <-> added
+    d2 = _delta_tuple(follows1, node, added, removed)
+    e0 = _edges_df(spark, follows0)
+    walks = walks_update.finish_update(
+        walks_update.update_walks(spark, walks, e0, [d2], seed=42, epoch=2)
+    ).localCheckpoint()
+
+    scores = rank.global_pagerank(walks, nodes=_starts_df(spark, follows0))
+    d = rank.l1_distance(scores, _expected_df(spark, fx.expected_global))
+    assert d <= TOL, f"{name} delta#{di}: L1={d}"
+
+
+def test_forward_delta_tracks_new_graph(spark):
+    """After a forward-only update the distribution should approximate
+    the NEW graph's pagerank (triangle_plus_one is triangle + edge
+    0->3 + dangling 3, with known scores)."""
+    tri = datagen.FIXTURES["triangle"]
+    tpo = datagen.FIXTURES["triangle_plus_one"]
+    follows0 = {0: [1], 1: [2], 2: [0], 3: []}
+    follows1 = tpo.follows
+
+    walks = walks_gen.generate_walks(
+        spark, _edges_df(spark, follows0), _starts_df(spark, follows0),
+        walks_per_node=WPN, seed=7, strategy="broadcast",
+    ).localCheckpoint()
+    d1 = _delta_tuple(follows0, 0, [], [3])
+    walks = walks_update.finish_update(
+        walks_update.update_walks(
+            spark, walks, _edges_df(spark, follows1), [d1], seed=7, epoch=1
+        )
+    )
+    scores = rank.global_pagerank(walks, nodes=_starts_df(spark, follows1))
+    d = rank.l1_distance(scores, _expected_df(spark, tpo.expected_global))
+    assert d <= 2 * TOL, f"forward: L1={d}"
+    del tri
+
+
+def test_update_fuzz_invariants(spark):
+    """pkg/walks/update_test.go:420-470: flip a 50-node random graph to
+    a second random graph via one batched multi-node update; every walk
+    must remain valid in the NEW graph."""
+    f0 = datagen.random_graph(50, 6, seed=11)
+    f1 = datagen.random_graph(50, 6, seed=12)
+    walks = walks_gen.generate_walks(
+        spark, _edges_df(spark, f0), _starts_df(spark, f0),
+        walks_per_node=20, seed=11, strategy="broadcast",
+    ).localCheckpoint()
+
+    deltas = []
+    for n in sorted(f0):
+        removed = sorted(set(f0[n]) - set(f1[n]))
+        added = sorted(set(f1[n]) - set(f0[n]))
+        if removed or added:
+            deltas.append(_delta_tuple(f0, n, removed, added))
+    e1 = _edges_df(spark, f1)
+    repaired = walks_update.update_walks(spark, walks, e1, deltas, seed=11, epoch=1)
+    assert walks_update.updated_count(repaired) > 0
+    walks = walks_update.finish_update(repaired).localCheckpoint()
+
+    assert walks.count() == 50 * 20
+    # no repeats (cycle-break invariant survives repair)
+    assert walks.filter(
+        F.size("path") != F.size(F.array_distinct("path"))
+    ).count() == 0
+    # path[0] == start_id
+    assert walks.filter(F.element_at("path", 1) != F.col("start_id")).count() == 0
+    # every consecutive step is an edge of the NEW graph
+    pairs = (
+        walks.filter(F.size("path") > 1)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("path", 1, F.size("path") - 1).alias("a"),
+                    F.slice("path", 2, F.size("path") - 1).alias("b"),
+                )
+            ).alias("s")
+        )
+        .select(F.col("s.a").alias("a"), F.col("s.b").alias("b"))
+    )
+    bad = pairs.join(e1, (pairs.a == e1.src) & (pairs.b == e1.dst), "left_anti")
+    assert bad.count() == 0
+
+
+def test_update_deterministic_across_partitionings(spark):
+    f0 = datagen.random_graph(30, 4, seed=3)
+    f1 = datagen.random_graph(30, 4, seed=4)
+    deltas = []
+    for n in sorted(f0):
+        removed = sorted(set(f0[n]) - set(f1[n]))
+        added = sorted(set(f1[n]) - set(f0[n]))
+        if removed or added:
+            deltas.append(_delta_tuple(f0, n, removed, added))
+    e1 = _edges_df(spark, f1)
+
+    def run(parts):
+        w = walks_gen.generate_walks(
+            spark, _edges_df(spark, f0), _starts_df(spark, f0),
+            walks_per_node=10, seed=3, strategy="broadcast", partitions=parts,
+        )
+        r = walks_update.finish_update(
+            walks_update.update_walks(
+                spark, w.repartition(parts, "walk_id"), e1, deltas, seed=3, epoch=1
+            )
+        )
+        return sorted((x["walk_id"], tuple(x["path"])) for x in r.collect())
+
+    assert run(2) == run(13)
+
+
+def test_estimate_walks_to_update_rounding(spark):
+    """A7 estimateWalksToUpdate (update.go:224-243): round-half-up of
+    p*visits, exercised via the dandlings graft (p=1 -> all walks)."""
+    fx = datagen.FIXTURES["dandlings"]
+    walks = walks_gen.generate_walks(
+        spark, _edges_df(spark, fx.follows), _starts_df(spark, fx.follows),
+        walks_per_node=40, seed=42, strategy="broadcast",
+    )
+    follows1 = _apply(fx.follows, 0, [], [1])
+    d = _delta_tuple(fx.follows, 0, [], [1])
+    repaired = walks_update.update_walks(
+        spark, walks, _edges_df(spark, follows1), [d], seed=42, epoch=1
+    )
+    # p = 1/1, visits(0)=40 -> all 40 walks from node 0 are grafted
+    assert walks_update.updated_count(repaired) == 40
+    grafted = walks_update.finish_update(repaired).filter(
+        (F.col("start_id") == 0) & (F.size("path") == 2)
+    )
+    # ~alpha of them actually regrow to [0,1]; the rest stay [0]
+    n2 = grafted.count()
+    assert 0.85 * 40 * 0.6 <= n2 <= 40
