@@ -1,0 +1,243 @@
+"""Personalized PageRank — M14, the walk-cache stitcher.
+
+Reference algorithm (pkg/pagerank/pagerank.go:107-213): simulate ONE
+long random walk from the source with reset probability 1-alpha,
+reusing stored walks whenever the cache has an unused walk visiting
+the current node (WalkCache.Next, pkg/pagerank/cache.go:80-105 — each
+cached walk is consumed at most once); the cached walk is cropped
+strictly after the current node (CropWalk, pagerank.go:233-240),
+cycle-trimmed against the in-flight segment (TrimCycles,
+sliceutils/slice.go:125-132), appended, and the walk resets. When no
+cached walk is available, fall back to live WalkStep over the
+adjacency. Finally the visit frequencies of the long walk are the
+scores (countAndNormalize, pagerank.go:217-230).
+
+A personalized query is single-source and bounded: the walk budget is
+walksNeeded(requiredLenght(topK, alpha), alpha) (pagerank.go:244-257),
+~100k short walks at topK=200 — megabytes, not a cluster problem. So
+the Spark shape is: one sampling job selects the bounded walk set
+(even per-node split, W5) and the follow lists of the source
+neighborhood, and the stitch runs vectorized in a single task (or on
+the driver). Many sources fan out with cogrouped applyInPandas, one
+group per source — embarrassingly parallel.
+
+The RNG is counter-based: draw t of source s is u01(seed, s, t) —
+run-to-run and partitioning deterministic (the reference seeds
+math/rand with wall-clock time, pagerank.go:118, and gates only on
+distribution-level distance; we gate the same way plus exact
+reproducibility).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import rng
+from .rank import required_length, sample_walks_visiting, walks_needed
+from .schemas import DEFAULT_ALPHA
+from .walks_gen import CSR, collect_csr
+
+
+def _stitch(
+    source: int,
+    target_length: int,
+    alpha: float,
+    seed: int,
+    cached_walks: list[list[int]],
+    csr: CSR,
+) -> np.ndarray:
+    """The personalizedWalk loop (pagerank.go:166-213), driver/task
+    local. Returns the concatenated long walk as an int64 array."""
+    # positions index: node -> list of walk indices visiting it,
+    # excluding each walk's last node (cache.go:125-139)
+    positions: dict[int, list[int]] = {}
+    for i, w in enumerate(cached_walks):
+        for node in w[:-1]:
+            positions.setdefault(node, []).append(i)
+    pos_cursor: dict[int, int] = {}
+    used = np.zeros(len(cached_walks), dtype=bool)
+
+    def next_cached(node: int) -> list[int] | None:
+        plist = positions.get(node)
+        if not plist:
+            return None
+        c = pos_cursor.get(node, 0)
+        while c < len(plist):
+            i = plist[c]
+            c += 1
+            if not used[i]:
+                used[i] = True
+                pos_cursor[node] = c
+                return cached_walks[i]
+        pos_cursor[node] = c
+        return None
+
+    out = np.empty(target_length + 64, dtype=np.int64)
+    n_out = 0
+    current: list[int] = [source]
+    current_set = {source}
+    cur = source
+    t = 0  # rng draw counter
+
+    def reset():
+        nonlocal n_out, current, current_set, cur
+        k = len(current)
+        if n_out + k > len(out):
+            out.resize(max(len(out) * 2, n_out + k), refcheck=False)
+        out[n_out : n_out + k] = current
+        n_out += k
+        current = [source]
+        current_set = {source}
+        cur = source
+
+    while n_out < target_length:
+        coin = float(rng.u01(seed, source, t)); t += 1
+        if coin > alpha:
+            reset()
+            continue
+        w = next_cached(cur)
+        if w is None:
+            # live WalkStep (generate.go:187-204)
+            deg, start = csr.lookup(np.asarray([cur], dtype=np.int64))
+            d = int(deg[0])
+            if d == 0:
+                reset()
+                continue
+            idx = int(rng.randint(d, seed, source, t)); t += 1
+            nxt = int(csr.targets[int(start[0]) + idx])
+            if nxt in current_set:
+                reset()
+                continue
+            current.append(nxt)
+            current_set.add(nxt)
+            cur = nxt
+            continue
+        # crop strictly after the current node (pagerank.go:233-240)
+        cropped = w[w.index(cur) + 1 :]
+        # TrimCycles vs the in-flight segment (slice.go:125-132)
+        for j, x in enumerate(cropped):
+            if x in current_set:
+                cropped = cropped[:j]
+                break
+        current.extend(cropped)
+        reset()
+    return out[:n_out]
+
+
+def _count_normalize(all_walk: np.ndarray) -> pd.DataFrame:
+    nodes, counts = np.unique(all_walk, return_counts=True)
+    return pd.DataFrame(
+        {"node_id": nodes, "rank": counts / float(len(all_walk))}
+    )
+
+
+def personalized_pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    walks: DataFrame,
+    node_id: int,
+    top_k: int = 200,
+    alpha: float = DEFAULT_ALPHA,
+    seed: int = 42,
+    csr: CSR | None = None,
+) -> DataFrame:
+    """Single-source personalized pagerank (pagerank.go:107-161).
+
+    Returns (node_id, rank). A dangling source returns {source: 1.0}
+    (pagerank.go:138-141)."""
+    csr = csr if csr is not None else collect_csr(edges)
+    follows = [int(x) for x in csr.follows(node_id)]
+    if not follows:
+        return spark.createDataFrame(
+            [(int(node_id), 1.0)], "node_id long, rank double"
+        )
+    target = required_length(top_k, alpha)
+    limit = walks_needed(target, alpha)
+    sampled = sample_walks_visiting(
+        walks, follows + [int(node_id)], limit, seed=seed
+    )
+    rows = (
+        sampled.select("walk_id", "path").distinct().collect()
+    )
+    # deterministic cache order regardless of partitioning
+    rows.sort(key=lambda r: r["walk_id"])
+    cached = [[int(x) for x in r["path"]] for r in rows]
+    all_walk = _stitch(int(node_id), target, alpha, seed, cached, csr)
+    return spark.createDataFrame(
+        _count_normalize(all_walk), "node_id long, rank double"
+    )
+
+
+def personalized_pagerank_many(
+    spark: SparkSession,
+    edges: DataFrame,
+    walks: DataFrame,
+    sources: DataFrame,
+    top_k: int = 200,
+    alpha: float = DEFAULT_ALPHA,
+    seed: int = 42,
+) -> DataFrame:
+    """Many-source fan-out: one stitch task per source via grouped
+    applyInPandas (SURVEY §2.8 M14 'many-source' path). Returns
+    (source_id, node_id, rank).
+
+    Each source's bounded walk sample is attached by a join from the
+    visits index; the adjacency CSR is broadcast once. Sources are
+    independent — this scales linearly with executors."""
+    csr = collect_csr(edges)
+    bc = spark.sparkContext.broadcast(csr)
+    target = required_length(top_k, alpha)
+    limit = walks_needed(target, alpha)
+
+    src_follow = (
+        sources.select(F.col("node_id").alias("source_id"))
+        .join(edges, F.col("source_id") == F.col("src"), "left")
+        .select("source_id", F.col("dst").alias("member"))
+    )
+    # neighborhood membership: follows + the source itself
+    members = src_follow.unionByName(
+        sources.select(
+            F.col("node_id").alias("source_id"),
+            F.col("node_id").alias("member"),
+        )
+    ).where(F.col("member").isNotNull()).distinct()
+
+    visits = walks.select(
+        F.explode("path").alias("member"), "walk_id", "path"
+    )
+    per_source_walks = (
+        members.join(visits, "member")
+        .select("source_id", "walk_id", "path")
+        .distinct()
+    )
+
+    out_schema = "source_id long, node_id long, rank double"
+
+    def stitch_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        src = int(pdf["source_id"].iloc[0])
+        local = bc.value
+        follows = [int(x) for x in local.follows(src)]
+        if not follows:
+            return pd.DataFrame(
+                {"source_id": [src], "node_id": [src], "rank": [1.0]}
+            )
+        pdf = pdf.sort_values("walk_id")
+        # even per-node sampling happens implicitly: cap the cache at
+        # `limit` walks in deterministic hash order (W5's role)
+        if len(pdf) > limit:
+            order = np.argsort(
+                rng.hash64(seed, pdf["walk_id"].to_numpy(np.int64))
+            )
+            pdf = pdf.iloc[order[:limit]].sort_values("walk_id")
+        cached = [[int(x) for x in p] for p in pdf["path"]]
+        all_walk = _stitch(src, target, alpha, seed, cached, local)
+        res = _count_normalize(all_walk)
+        res.insert(0, "source_id", src)
+        return res
+
+    return per_source_walks.groupBy("source_id").applyInPandas(
+        stitch_group, schema=out_schema
+    )

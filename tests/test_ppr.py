@@ -1,0 +1,90 @@
+"""Personalized-pagerank gates — the reference's personalized tests
+(tests/algos/pagerank_test.go:179-239: walksPerNode=1000, topK=200,
+L1 tolerance 0.01 against analytic fixture scores), plus the dangling
+special case (pagerank.go:138-141) and determinism/many-source parity.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark import datagen, ppr, rank, walks_gen
+
+TOL = 0.01
+WPN = 1000
+TOPK = 200
+
+# fixtures with a non-trivial source-0 distribution
+NAMES = [
+    "triangle", "triangle_plus_one", "acyclic1", "acyclic2",
+    "acyclic3", "acyclic4", "cyclic_long50",
+]
+
+
+def _setup(spark, fx, wpn=WPN, seed=42):
+    edges = (
+        spark.createDataFrame(fx.edge_list(), "src long, dst long")
+        if fx.edge_list()
+        else spark.createDataFrame([], "src long, dst long")
+    )
+    starts = spark.createDataFrame([(i,) for i in sorted(fx.follows)], "node_id long")
+    walks = walks_gen.generate_walks(
+        spark, edges, starts, walks_per_node=wpn, seed=seed, strategy="broadcast"
+    ).localCheckpoint()
+    return edges, starts, walks
+
+
+def _expected_df(spark, expected):
+    return spark.createDataFrame(
+        [(int(k), float(v)) for k, v in expected.items()], "node_id long, rank double"
+    )
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_personalized_matches_analytic(spark, name):
+    fx = datagen.FIXTURES[name]
+    edges, _, walks = _setup(spark, fx)
+    scores = ppr.personalized_pagerank(spark, edges, walks, 0, top_k=TOPK, seed=42)
+    d = rank.l1_distance(scores, _expected_df(spark, fx.expected_personalized0))
+    assert d <= TOL, f"{name}: L1={d}"
+
+
+def test_personalized_dangling_source(spark):
+    fx = datagen.FIXTURES["dandlings"]
+    edges, _, walks = _setup(spark, fx, wpn=10)
+    scores = ppr.personalized_pagerank(spark, edges, walks, 0).collect()
+    assert [(r.node_id, r.rank) for r in scores] == [(0, 1.0)]
+
+
+def test_personalized_deterministic(spark):
+    fx = datagen.FIXTURES["acyclic1"]
+    edges, _, walks = _setup(spark, fx, wpn=200)
+    a = ppr.personalized_pagerank(spark, edges, walks, 0, top_k=50, seed=9).collect()
+    b = ppr.personalized_pagerank(spark, edges, walks, 0, top_k=50, seed=9).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_many_source_close_to_single(spark):
+    """The cogrouped fan-out must produce the same distributions the
+    single-source path does (same stitcher, same rng keying), up to
+    the per-source walk-cache sampling order."""
+    fx = datagen.FIXTURES["acyclic2"]
+    edges, starts, walks = _setup(spark, fx, wpn=500)
+    many = ppr.personalized_pagerank_many(
+        spark, edges, walks, starts, top_k=50, seed=42
+    )
+    rows = many.collect()
+    srcs = {r.source_id for r in rows}
+    assert srcs == set(fx.follows)
+    # each source's distribution sums to ~1
+    sums = (
+        many.groupBy("source_id").agg(F.sum("rank").alias("s")).collect()
+    )
+    for r in sums:
+        assert abs(r.s - 1.0) < 1e-9
+    # spot-check source 0 against the single-source result within MC tol
+    single = ppr.personalized_pagerank(spark, edges, walks, 0, top_k=50, seed=42)
+    m0 = spark.createDataFrame(
+        [(r.node_id, r.rank) for r in rows if r.source_id == 0],
+        "node_id long, rank double",
+    )
+    assert rank.l1_distance(single, m0) <= 0.05
