@@ -1,0 +1,276 @@
+"""The crawl engine: epoch loop over checkpointed tables.
+
+This is the Spark re-expression of the reference's four goroutines
+(cmd/crawler.go:89-141) as ONE deterministic epoch loop (SURVEY §7:
+"epoch loop, not channels"):
+
+    per epoch:
+      1. scheduler tick  (QueryPubkeys S3): pick a politeness-bounded,
+         priority-ordered batch of queued frontier urls,
+      2. "fetch" them — here, look them up in the synthetic web (the
+         pages corpus); a real deployment fetches then lands rows in
+         the pages table,
+      3. process the page batch (ProcessEvents/M13,
+         pkg/crawler/process.go:36-167): latest-dedup, extract links,
+         admission-gate candidates through the bloom/cuckoo seen set,
+         mint ids, diff follow lists into deltas, MERGE edges,
+         incrementally repair walks,
+      4. arbiter (NodeArbiter M11): when the change ratio crosses the
+         activation threshold, promote/demote nodes and enqueue the
+         promoted urls,
+      5. commit every table as a catalog snapshot with metrics —
+         kill the process anywhere; `CrawlEngine.resume()` restarts
+         from the last committed epoch (north_rule).
+
+State tables (all catalog-committed): nodes, edges, walks, frontier,
+pages_seen? -> the seen set is `nodes` itself (a url is "seen" once
+it has a node id, exactly like the reference's keyIndex membership);
+bloom filters over it are rebuilt per epoch from the delta
+(cheap: one groupBy over NEW urls, merged bucket-wise).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import frontier as frontier_mod
+from . import graph, schemas, seen, walks_gen, walks_update
+from .catalog import Catalog
+from .functions.extract import extract_links, is_valid_url, url_host
+
+TABLES = ("nodes", "edges", "walks", "frontier", "metrics")
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        alpha: float = schemas.DEFAULT_ALPHA,
+        walks_per_node: int = schemas.DEFAULT_WALKS_PER_NODE,
+        n_buckets: int = 64,
+        seed: int = 42,
+        batch_size: int = schemas.DEFAULT_QUERY_BATCH,
+        tick_seconds: float = 60.0,
+        promotion_wait_s: float = schemas.ARBITER_PROMOTION_WAIT_S,
+    ):
+        self.spark = spark
+        self.cat = Catalog(root)
+        self.alpha = alpha
+        self.wpn = walks_per_node
+        self.n_buckets = n_buckets
+        self.seed = seed
+        self.batch_size = batch_size
+        self.tick_seconds = tick_seconds
+        self.promotion_wait_s = promotion_wait_s
+        self.epoch = 0
+        self.walks_changed = 0  # the walksTracker counter (process.go:118-123)
+        self.nodes: DataFrame | None = None
+        self.edges: DataFrame | None = None
+        self.walks: DataFrame | None = None
+        self.frontier: DataFrame | None = None
+
+    # ---- lifecycle ----
+
+    def bootstrap(self, seed_urls: list[str], now: _dt.datetime) -> None:
+        """S9 cold start (cmd/crawler.go:52-66): seed urls become
+        active nodes; walks generated for them (GenerateAll); all
+        seeds enqueued for fetching."""
+        spark = self.spark
+        self.nodes = graph.nodes_from_urls(
+            spark, seed_urls, status=schemas.STATUS_ACTIVE, added_ts=now
+        )
+        self.edges = spark.createDataFrame([], "src long, dst long")
+        self.walks = walks_gen.generate_walks(
+            spark,
+            self.edges,
+            self.nodes.select("node_id"),
+            alpha=self.alpha,
+            walks_per_node=self.wpn,
+            seed=self.seed,
+        )
+        self.frontier = frontier_mod.enqueue(
+            None, self.nodes.select("url", "node_id"), now
+        )
+        self.epoch = 0
+        self._commit(now, {"event": "bootstrap", "seeds": len(seed_urls)})
+
+    def resume(self) -> None:
+        """Reload every table from its last committed snapshot."""
+        spark = self.spark
+        self.nodes = self.cat.read(spark, "nodes")
+        self.edges = self.cat.read(spark, "edges")
+        self.walks = self.cat.read(spark, "walks")
+        self.frontier = self.cat.read(spark, "frontier")
+        self.epoch = self.cat.current("nodes").epoch
+
+    def _commit(self, now: _dt.datetime, extra: dict | None = None) -> None:
+        m = {"epoch": self.epoch, "walks_changed": self.walks_changed}
+        if extra:
+            m.update(extra)
+        for name, df in (
+            ("nodes", self.nodes),
+            ("edges", self.edges),
+            ("walks", self.walks),
+            ("frontier", self.frontier),
+        ):
+            snap = self.cat.write(name, df, epoch=self.epoch, metrics=m)
+            # re-read from the committed snapshot: truncates lineage
+            # (the iterative-Spark pitfall) and makes the in-memory
+            # state exactly the on-disk state
+            setattr(self, name, self.spark.read.parquet(snap.path))
+
+    # ---- the epoch ----
+
+    def run_epoch(self, web: DataFrame, now: _dt.datetime, robots: DataFrame | None = None) -> dict:
+        """One full epoch against a `web` pages corpus
+        (url, warc_ts, html, text, lang). Returns the metrics dict."""
+        self.epoch += 1
+        batch, self.frontier = frontier_mod.schedule_batch(
+            self.frontier,
+            robots,
+            now,
+            tick_seconds=self.tick_seconds,
+            batch_size=self.batch_size,
+        )
+        fetched = web.join(batch.select("url"), "url", "left_semi")
+        stats = self.process_pages(fetched, now)
+        stats.update(self.maybe_arbiter(now))
+        stats["scheduled"] = batch.count()
+        self._commit(now, stats)
+        return stats
+
+    def process_pages(self, pages: DataFrame, now: _dt.datetime) -> dict:
+        """M13 processFollowList, batched (process.go:132-167)."""
+        spark = self.spark
+        # W1/S4: newest page per url (crawler.go:206-217)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+        latest = (
+            pages.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+        # P5/P6: link extraction + validity
+        with_links = latest.select(
+            "url", extract_links("html", "url").alias("links")
+        )
+        links = with_links.select(
+            "url", F.explode("links").alias("link")
+        ).filter(is_valid_url(F.col("link")))
+
+        # join to author node ids; only known nodes' pages are
+        # processed (the admission gate S2 already let them in)
+        author = links.join(
+            self.nodes.select("url", "node_id", "status"), "url"
+        )
+
+        # discovery: unknown link targets get ids IF the author is
+        # active (resolveIDs, process.go:186-206). Admission runs
+        # through the bloom filters with exact verification.
+        candidates = (
+            author.filter(F.col("status") == schemas.STATUS_ACTIVE)
+            .select(F.col("link").alias("url"))
+            .distinct()
+        )
+        filters = seen.build_seen_filters(
+            self.nodes.select("url"), n_buckets=self.n_buckets
+        )
+        new_urls = seen.admit_new_urls(
+            candidates, filters, self.nodes.select("url"), self.n_buckets
+        )
+        minted = graph.mint_node_ids(self.nodes, new_urls, added_ts=now)
+        n_new = minted.count()
+        if n_new:
+            self.nodes = self.nodes.unionByName(minted)
+
+        # new follow lists (active authors only — the reference skips
+        # others' targets, so their lists would be partial)
+        new_lists = (
+            author.filter(F.col("status") == schemas.STATUS_ACTIVE)
+            .join(
+                self.nodes.select(
+                    F.col("url").alias("link"), F.col("node_id").alias("dst")
+                ),
+                "link",
+            )
+            .groupBy("node_id")
+            .agg(F.sort_array(F.collect_set("dst")).alias("new_follows"))
+        )
+        old_lists = (
+            new_lists.select("node_id")
+            .join(
+                graph.adjacency_lists(self.edges).withColumnRenamed(
+                    "src", "node_id"
+                ),
+                "node_id",
+                "left",
+            )
+            .withColumnRenamed("follows", "old_follows")
+        )
+        deltas = graph.delta_partition(
+            new_lists.join(old_lists, "node_id")
+        ).filter((F.size("removed") > 0) | (F.size("added") > 0))
+        n_deltas = deltas.count()
+
+        stats = {"pages": latest.count(), "new_nodes": n_new, "deltas": n_deltas}
+        if n_deltas:
+            self.edges = graph.apply_deltas(self.edges, deltas)
+            repaired = walks_update.update_walks(
+                spark,
+                self.walks,
+                self.edges,
+                deltas,
+                alpha=self.alpha,
+                seed=self.seed,
+                epoch=self.epoch,
+            )
+            n_up = walks_update.updated_count(repaired)
+            self.walks = walks_update.finish_update(repaired)
+            self.walks_changed += n_up
+            stats["walks_updated"] = n_up
+        return stats
+
+    def maybe_arbiter(self, now: _dt.datetime) -> dict:
+        """A8 trigger + M11 scan (arbiter.go:55-81)."""
+        total = walks_gen.total_visits(self.walks)
+        ratio = frontier_mod.change_ratio(self.walks_changed, total, self.alpha)
+        if ratio < schemas.ARBITER_ACTIVATION_THRESHOLD:
+            return {"arbiter": 0, "change_ratio": ratio}
+        decisions = frontier_mod.arbiter_decisions(
+            self.nodes,
+            self.walks,
+            now,
+            walks_per_node=self.wpn,
+            promotion_wait_s=self.promotion_wait_s,
+        )
+        self.nodes, self.walks, promoted = frontier_mod.apply_arbiter(
+            self.spark,
+            self.nodes,
+            self.walks,
+            self.edges,
+            decisions,
+            now,
+            alpha=self.alpha,
+            walks_per_node=self.wpn,
+            seed=self.seed,
+        )
+        n_promoted = promoted.count()
+        if n_promoted:
+            self.frontier = frontier_mod.enqueue(
+                self.frontier, promoted.select("url", "node_id"), now
+            )
+        self.walks_changed = 0
+        return {"arbiter": 1, "promoted": n_promoted, "change_ratio": ratio}
+
+    # ---- reads ----
+
+    def pagerank(self) -> DataFrame:
+        from .rank import global_pagerank
+
+        return global_pagerank(self.walks, nodes=self.nodes)

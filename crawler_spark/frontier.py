@@ -1,0 +1,281 @@
+"""Frontier scheduling: politeness, priority, robots, arbiter — the
+fetch-scheduler half of the north_rule.
+
+Reference counterparts:
+ - QueryPubkeys batching (S3, pkg/crawler/crawler.go:135-184): batches
+   of 50 promoted pubkeys fetched per tick -> here `schedule_batch`,
+   a per-tick selection of queued frontier URLs.
+ - NodeArbiter (M11, pkg/crawler/arbiter.go:84-189): periodic scan
+   promoting/demoting nodes on visit counts -> `arbiter_decisions` is
+   ONE DataFrame pass (nodes ⋈ visit_counts -> when(...)), and
+   `apply_arbiter` flips statuses + generates/removes walks in bulk.
+ - The reference has no politeness (relays aren't crawled); the
+   north_rule adds per-host token budgets + robots.txt rules, so the
+   scheduler takes them as first-class tables.
+
+Determinism (north_rule "matching crawl ordering under the same seed
+list + politeness budget"): every selection sorts by
+(priority DESC, url ASC) — a total order — before any limit, so the
+schedule is invariant to partitioning (SURVEY §7 hard-part vi).
+
+Skew: all per-host work is keyed by host (window over host), and the
+frontier/seen tables are bucketed by hash64(host) % B (seen.py), so a
+hot domain saturates one politeness budget — never one Spark
+partition (the window's shuffle key is the host hash; B buckets bound
+any single task's share at 1/B of hosts, and per-host budgets bound
+rows per host).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import schemas
+from .functions.extract import url_host
+from .walks_gen import (
+    generate_walks,
+    next_walk_id,
+    remove_walks_starting_at,
+    visit_counts,
+)
+
+DEFAULT_CRAWL_DELAY_S = 1.0
+DEFAULT_BATCH = schemas.DEFAULT_QUERY_BATCH  # 50, crawler.go:120
+
+
+def enqueue(
+    frontier: DataFrame | None,
+    urls: DataFrame,
+    now: _dt.datetime,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """Add (url, node_id?) rows to the frontier in state 'queued'.
+    Already-present urls are not re-queued (anti-join on url)."""
+    cols = urls.columns
+    new = urls.select(
+        "url",
+        url_host(F.col("url")).alias("host"),
+        (F.col("node_id") if "node_id" in cols else F.lit(None)).cast("long").alias(
+            "node_id"
+        ),
+        (F.col("priority") if "priority" in cols else F.lit(0.0)).cast("double").alias(
+            "priority"
+        ),
+        F.lit(now).cast("timestamp").alias("enqueued_ts"),
+        F.lit(None).cast("timestamp").alias("fetched_ts"),
+        F.lit("queued").alias("state"),
+    )
+    if frontier is None:
+        return new
+    new = new.join(frontier.select("url"), "url", "left_anti")
+    return frontier.unionByName(new)
+
+
+def refresh_priorities(frontier: DataFrame, scores: DataFrame) -> DataFrame:
+    """Priority = current pagerank mass (W3: the arbiter's promotion
+    pressure becomes the queue key). Unknown nodes keep priority 0."""
+    return (
+        frontier.join(
+            scores.select("node_id", F.col("rank").alias("_rank")), "node_id", "left"
+        )
+        .withColumn("priority", F.coalesce("_rank", "priority"))
+        .drop("_rank")
+    )
+
+
+def schedule_batch(
+    frontier: DataFrame,
+    robots: DataFrame | None,
+    now: _dt.datetime,
+    tick_seconds: float = 60.0,
+    batch_size: int = DEFAULT_BATCH,
+    default_crawl_delay_s: float = DEFAULT_CRAWL_DELAY_S,
+) -> tuple[DataFrame, DataFrame]:
+    """One scheduler tick. Returns (batch, frontier').
+
+    batch    = queued ∧ robots-allowed urls, per-host token budget
+               floor(tick/crawl_delay) (min 1), then the global top
+               `batch_size` by (priority DESC, url) — W3's window +
+               stable sort.
+    frontier' = batch rows flipped to 'fetched' (fetched_ts=now) and
+               robots-disallowed rows flipped to 'blocked'.
+
+    robots is a small dimension -> broadcast join (no shuffle of the
+    frontier side beyond the per-host window)."""
+    queued = frontier.filter(F.col("state") == "queued")
+
+    if robots is not None:
+        r = F.broadcast(robots.select("host", "disallow_prefix", "crawl_delay_s"))
+        queued = queued.join(r, "host", "left")
+        path = F.expr("substring(url, length(host) + 9)")  # after 'https://'+host
+        blocked_cond = (
+            F.col("disallow_prefix").isNotNull()
+            & path.startswith(F.col("disallow_prefix"))
+        )
+        blocked = queued.filter(blocked_cond).select("url")
+        queued = queued.filter(~blocked_cond | F.col("disallow_prefix").isNull())
+        budget = F.greatest(
+            F.lit(1),
+            F.floor(
+                F.lit(tick_seconds)
+                / F.coalesce("crawl_delay_s", F.lit(default_crawl_delay_s))
+            ),
+        )
+    else:
+        blocked = None
+        budget = F.greatest(
+            F.lit(1), F.floor(F.lit(tick_seconds / default_crawl_delay_s))
+        )
+
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url"))
+    polite = (
+        queued.withColumn("_budget", budget)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_budget"))
+        .drop("_rn", "_budget", "disallow_prefix", "crawl_delay_s")
+    )
+    batch = polite.orderBy(F.desc("priority"), F.asc("url")).limit(batch_size)
+
+    batch_urls = batch.select("url")
+    updated = (
+        frontier.join(
+            batch_urls.withColumn("_sched", F.lit(True)), "url", "left"
+        )
+        .join(
+            (blocked.withColumn("_blk", F.lit(True)) if blocked is not None
+             else frontier.limit(0).select("url").withColumn("_blk", F.lit(True))),
+            "url",
+            "left",
+        )
+        .withColumn(
+            "state",
+            F.when(F.col("_sched"), F.lit("fetched"))
+            .when(F.col("_blk"), F.lit("blocked"))
+            .otherwise(F.col("state")),
+        )
+        .withColumn(
+            "fetched_ts",
+            F.when(F.col("_sched"), F.lit(now).cast("timestamp")).otherwise(
+                F.col("fetched_ts")
+            ),
+        )
+        .drop("_sched", "_blk")
+    )
+    return batch.select("url", "host", "node_id", "priority"), updated
+
+
+# ---- arbiter (M11) ----
+
+
+def arbiter_decisions(
+    nodes: DataFrame,
+    walks: DataFrame,
+    now: _dt.datetime,
+    walks_per_node: int = schemas.DEFAULT_WALKS_PER_NODE,
+    promotion_multiplier: float = schemas.ARBITER_PROMOTION_MULTIPLIER,
+    demotion_multiplier: float = schemas.ARBITER_DEMOTION_MULTIPLIER,
+    promotion_wait_s: float = schemas.ARBITER_PROMOTION_WAIT_S,
+) -> DataFrame:
+    """One scan pass (arbiter.go:84-189): nodes ⋈ visit counts ->
+    'promote' | 'demote' | 'keep'.
+
+    shouldDemote (arbiter.go:166-174): active ∧ visits <
+    round(demotion_multiplier*wpn). shouldPromote (:176-189): inactive
+    ∧ added_ts older than the wait period ∧ visits >=
+    round(promotion_multiplier*wpn)."""
+    demote_thr = int(demotion_multiplier * walks_per_node + 0.5)
+    promote_thr = int(promotion_multiplier * walks_per_node + 0.5)
+    cutoff = now - _dt.timedelta(seconds=promotion_wait_s)
+    vc = visit_counts(walks)
+    return (
+        nodes.join(vc, "node_id", "left")
+        .withColumn("visits", F.coalesce("visits", F.lit(0)))
+        .withColumn(
+            "decision",
+            F.when(
+                (F.col("status") == schemas.STATUS_ACTIVE)
+                & (F.col("visits") < demote_thr),
+                F.lit("demote"),
+            )
+            .when(
+                (F.col("status") == schemas.STATUS_INACTIVE)
+                & (F.col("added_ts") <= F.lit(cutoff).cast("timestamp"))
+                & (F.col("visits") >= promote_thr),
+                F.lit("promote"),
+            )
+            .otherwise(F.lit("keep")),
+        )
+    )
+
+
+def apply_arbiter(
+    spark: SparkSession,
+    nodes: DataFrame,
+    walks: DataFrame,
+    edges: DataFrame,
+    decisions: DataFrame,
+    now: _dt.datetime,
+    alpha: float = schemas.DEFAULT_ALPHA,
+    walks_per_node: int = schemas.DEFAULT_WALKS_PER_NODE,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Bulk PromoteNode/DemoteNode (arbiter.go:192-228): returns
+    (nodes', walks', promoted nodes). Promotion generates
+    walks_per_node walks per promoted node in ONE job (vs the
+    reference's per-node loop); demotion drops walks originating at
+    demoted nodes in one anti-join."""
+    promoted = decisions.filter(F.col("decision") == "promote").select(
+        "node_id", "url"
+    )
+    demoted = decisions.filter(F.col("decision") == "demote").select("node_id")
+
+    new_walks = walks
+    if demoted.limit(1).count():
+        new_walks = remove_walks_starting_at(new_walks, demoted)
+    if promoted.limit(1).count():
+        gen = generate_walks(
+            spark,
+            edges,
+            promoted.select("node_id"),
+            alpha=alpha,
+            walks_per_node=walks_per_node,
+            seed=seed,
+            walk_id_offset=next_walk_id(walks),
+        )
+        new_walks = new_walks.unionByName(gen)
+
+    ts = F.lit(now).cast("timestamp")
+    new_nodes = (
+        nodes.join(
+            decisions.select("node_id", "decision"), "node_id", "left"
+        )
+        .withColumn(
+            "status",
+            F.when(F.col("decision") == "promote", F.lit(schemas.STATUS_ACTIVE))
+            .when(F.col("decision") == "demote", F.lit(schemas.STATUS_INACTIVE))
+            .otherwise(F.col("status")),
+        )
+        .withColumn(
+            "promoted_ts",
+            F.when(F.col("decision") == "promote", ts).otherwise(
+                F.col("promoted_ts")
+            ),
+        )
+        .withColumn(
+            "demoted_ts",
+            F.when(F.col("decision") == "demote", ts).otherwise(F.col("demoted_ts")),
+        )
+        .drop("decision")
+    )
+    return new_nodes, new_walks, promoted
+
+
+def change_ratio(walks_changed: int, total_visits_: int, alpha: float) -> float:
+    """A8 arbiter trigger (arbiter.go:64-68): walksChanged /
+    (totalVisits * (1-alpha)) — the denominator is the expected walk
+    count via the mean-length identity."""
+    total_walks = total_visits_ * (1.0 - alpha)
+    return walks_changed / total_walks if total_walks > 0 else 0.0

@@ -1,0 +1,325 @@
+"""URL-seen membership — partitioned bloom filter + cuckoo fallback.
+
+The reference's admission gate is one Redis lookup per event
+(DB.NodeIDs, pkg/crawler/crawler.go:94-102): "is this author already
+in the DB?". At a 10^10-URL frontier that must become an approximate
+membership structure probed entirely executor-side (north_rule:
+"partitioned bloom-filter URL-seen set with cuckoo-filter fallback").
+
+Design:
+ - The seen set is partitioned by `bucket = hash64(host) % n_buckets`
+   — HOST-hash, not url-hash, so every URL of a hot domain lands in
+   the same bucket as its politeness state, and bucket count (not a
+   hot key) controls skew (SURVEY §4: explicit salting).
+ - Per bucket, a from-scratch numpy bloom filter (k probes via
+   Kirsch-Mitzenmacher double hashing over the counter-RNG's
+   splitmix64). Membership is a broadcast-join + one vectorized Arrow
+   pass; NO shuffle of the candidate side beyond its bucketing.
+ - Bloom positives are verified with an exact left_anti join against
+   the nodes table — the bloom prunes that join's probe side to
+   (true positives + ~1% FP), which is what makes the exact check
+   affordable at 10^10 (`admit_new_urls`).
+ - The cuckoo filter (partial-key cuckoo hashing, 4-way buckets,
+   16-bit fingerprints) is the DELETABLE fallback: demoted/evicted
+   URLs can be removed without rebuilding, which a bloom cannot do.
+
+Spark's own BloomFilterAggregate is not exposed in this build's
+function registry (checked); these filters are self-contained numpy
+and serialize as plain binary columns, so the filter table is itself
+a checkpointable DataFrame.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from . import rng
+from .functions.extract import url_host
+
+_H1_SALT = 0x5EED_B100_F1
+_H2_SALT = 0x5EED_B100_F2
+
+FILTERS_SCHEMA = StructType(
+    [
+        StructField("bucket", LongType(), False),
+        StructField("n_items", LongType(), False),
+        StructField("m_bits", LongType(), False),
+        StructField("bits", BinaryType(), False),
+    ]
+)
+
+
+def _str_hash64(values: pd.Series, salt: int) -> np.ndarray:
+    """Stable vectorized 64-bit string hash: crc32 of the utf-8 bytes
+    and of their reverse (two independent-ish 32-bit words), plus the
+    length, folded through the splitmix64 finalizer. Stable across
+    processes/versions (unlike hash() or pandas' object hashing),
+    ~crc speed per row."""
+    import zlib
+
+    enc = values.astype(str).str.encode("utf-8")
+    a = np.fromiter((zlib.crc32(b) for b in enc), dtype=np.uint64, count=len(enc))
+    b = np.fromiter(
+        (zlib.crc32(b[::-1]) for b in enc), dtype=np.uint64, count=len(enc)
+    )
+    ln = np.fromiter((len(x) for x in enc), dtype=np.uint64, count=len(enc))
+    return rng.hash64(a ^ (ln << np.uint64(32)), b, salt)
+
+
+def url_bucket(col, n_buckets: int):
+    """Column expr: bucket = pmod(xxhash64(host), n_buckets) — the
+    partitioning key of the whole frontier layer."""
+    return F.pmod(F.xxhash64(url_host(col)), F.lit(n_buckets)).cast("long")
+
+
+class BloomFilter:
+    """Plain numpy bloom filter; k probe positions via double hashing
+    (pos_i = h1 + i*h2 mod m)."""
+
+    def __init__(self, m_bits: int, n_hashes: int = 7, bits: np.ndarray | None = None):
+        self.m = int(m_bits)
+        self.k = int(n_hashes)
+        self.bits = (
+            bits if bits is not None else np.zeros((self.m + 7) // 8, dtype=np.uint8)
+        )
+
+    @classmethod
+    def sized_for(cls, n_items: int, bits_per_key: int = 10) -> "BloomFilter":
+        return cls(max(64, n_items * bits_per_key))
+
+    def _positions(self, urls: pd.Series) -> np.ndarray:
+        h1 = _str_hash64(urls, _H1_SALT)
+        h2 = _str_hash64(urls, _H2_SALT) | np.uint64(1)
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        with np.errstate(over="ignore"):
+            return ((h1[None, :] + i * h2[None, :]) % np.uint64(self.m)).astype(
+                np.int64
+            )
+
+    def add(self, urls: pd.Series) -> None:
+        pos = self._positions(urls).ravel()
+        np.bitwise_or.at(self.bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+
+    def contains(self, urls: pd.Series) -> np.ndarray:
+        pos = self._positions(urls)
+        got = (self.bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return got.all(axis=0)
+
+    def to_bytes(self) -> bytes:
+        return self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, m_bits: int, data: bytes, n_hashes: int = 7) -> "BloomFilter":
+        return cls(m_bits, n_hashes, np.frombuffer(data, dtype=np.uint8).copy())
+
+
+class CuckooFilter:
+    """Partial-key cuckoo filter (Fan et al., CoNEXT'14 — public
+    algorithm): b-way buckets of 16-bit fingerprints; deletable, which
+    is why it backs demotion/unseen transitions where the bloom can't.
+    """
+
+    SLOTS = 4
+    MAX_KICKS = 500
+
+    def __init__(self, n_buckets: int, table: np.ndarray | None = None):
+        self.nb = int(n_buckets)
+        self.table = (
+            table
+            if table is not None
+            else np.zeros((self.nb, self.SLOTS), dtype=np.uint16)
+        )
+
+    @classmethod
+    def sized_for(cls, n_items: int) -> "CuckooFilter":
+        nb = 1
+        while nb * cls.SLOTS < n_items * 1.3:
+            nb *= 2
+        return cls(nb)
+
+    def _fp_and_index(self, urls: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+        h = _str_hash64(urls, _H1_SALT)
+        fp = (h & np.uint64(0xFFFF)).astype(np.uint16)
+        fp = np.where(fp == 0, np.uint16(1), fp)  # 0 marks empty slots
+        i1 = ((h >> np.uint64(16)) % np.uint64(self.nb)).astype(np.int64)
+        return fp, i1
+
+    def _alt_index(self, i: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        return (
+            (i.astype(np.uint64) ^ rng.hash64(fp.astype(np.uint64), _H2_SALT))
+            % np.uint64(self.nb)
+        ).astype(np.int64)
+
+    def add(self, urls: pd.Series) -> int:
+        """Insert items; returns how many failed (filter ~full)."""
+        fp, i1 = self._fp_and_index(urls)
+        i2 = self._alt_index(i1, fp)
+        failed = 0
+        for f, a, b in zip(fp.tolist(), i1.tolist(), i2.tolist()):
+            if not self._insert_one(np.uint16(f), a, b):
+                failed += 1
+        return failed
+
+    def _insert_one(self, f: np.uint16, a: int, b: int) -> bool:
+        for idx in (a, b):
+            row = self.table[idx]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = f
+                return True
+        # evict (kick) loop — randomized via the counter rng on (f, kick)
+        idx = a
+        for kick in range(self.MAX_KICKS):
+            s = int(rng.randint(self.SLOTS, int(f), idx, kick, 51))
+            f, self.table[idx, s] = self.table[idx, s], f
+            idx = int(self._alt_index(np.asarray([idx]), np.asarray([f], np.uint16))[0])
+            row = self.table[idx]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = f
+                return True
+        return False
+
+    def contains(self, urls: pd.Series) -> np.ndarray:
+        fp, i1 = self._fp_and_index(urls)
+        i2 = self._alt_index(i1, fp)
+        in1 = (self.table[i1] == fp[:, None]).any(axis=1)
+        in2 = (self.table[i2] == fp[:, None]).any(axis=1)
+        return in1 | in2
+
+    def delete(self, urls: pd.Series) -> np.ndarray:
+        """Remove one copy of each item; returns found mask."""
+        fp, i1 = self._fp_and_index(urls)
+        i2 = self._alt_index(i1, fp)
+        found = np.zeros(len(fp), dtype=bool)
+        for j, (f, a, b) in enumerate(zip(fp, i1.tolist(), i2.tolist())):
+            for idx in (a, b):
+                row = self.table[idx]
+                hit = np.nonzero(row == f)[0]
+                if len(hit):
+                    row[hit[0]] = 0
+                    found[j] = True
+                    break
+        return found
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, n_buckets: int, data: bytes) -> "CuckooFilter":
+        t = np.frombuffer(data, dtype=np.uint16).reshape(n_buckets, cls.SLOTS).copy()
+        return cls(n_buckets, t)
+
+
+# ---- distributed build / probe over the bucketed seen set ----
+
+
+def build_seen_filters(
+    seen_urls: DataFrame,
+    n_buckets: int = 64,
+    bits_per_key: int = 10,
+    kind: str = "bloom",
+) -> DataFrame:
+    """One filter row per host-hash bucket. groupBy(bucket) is the only
+    shuffle; each group builds its filter in one vectorized pass."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(pdf["bucket"].iloc[0])
+        urls = pdf["url"]
+        if kind == "bloom":
+            f = BloomFilter.sized_for(len(urls), bits_per_key)
+            f.add(urls)
+            return pd.DataFrame(
+                {
+                    "bucket": [bucket],
+                    "n_items": [len(urls)],
+                    "m_bits": [f.m],
+                    "bits": [f.to_bytes()],
+                }
+            )
+        f = CuckooFilter.sized_for(len(urls))
+        f.add(urls)
+        return pd.DataFrame(
+            {
+                "bucket": [bucket],
+                "n_items": [len(urls)],
+                "m_bits": [f.nb],  # bucket count for cuckoo
+                "bits": [f.to_bytes()],
+            }
+        )
+
+    with_bucket = seen_urls.select(
+        "url", url_bucket(F.col("url"), n_buckets).alias("bucket")
+    )
+    return with_bucket.groupBy("bucket").applyInPandas(build, schema=FILTERS_SCHEMA)
+
+
+def probe_seen(
+    candidates: DataFrame,
+    filters: DataFrame,
+    n_buckets: int = 64,
+    kind: str = "bloom",
+) -> DataFrame:
+    """candidates(url, ...) -> same + boolean `maybe_seen`. The filter
+    table is tiny next to the candidate stream — broadcast it; the
+    probe itself is one Arrow pass, zero candidate shuffles."""
+    cand = candidates.withColumn("bucket", url_bucket(F.col("url"), n_buckets))
+    joined = cand.join(F.broadcast(filters), "bucket", "left")
+    cols = list(candidates.columns)
+    out_schema = StructType(
+        [candidates.schema[c] for c in cols]
+        + [StructField("maybe_seen", BooleanType())]
+    )
+
+    def probe(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            maybe = np.zeros(len(pdf), dtype=bool)
+            # one filter per bucket in this partition; group to
+            # deserialize each blob once
+            for (m_bits, blob), grp in pdf.groupby(
+                ["m_bits", "bits"], dropna=False, sort=False
+            ):
+                if blob is None or (isinstance(blob, float) and pd.isna(blob)):
+                    continue  # bucket with no filter: nothing seen
+                if kind == "bloom":
+                    filt = BloomFilter.from_bytes(int(m_bits), bytes(blob))
+                else:
+                    filt = CuckooFilter.from_bytes(int(m_bits), bytes(blob))
+                maybe[grp.index.to_numpy()] = filt.contains(grp["url"])
+            out = pdf[cols].copy()
+            out["maybe_seen"] = maybe
+            yield out
+
+    return joined.mapInPandas(probe, schema=out_schema)
+
+
+def admit_new_urls(
+    candidates: DataFrame,
+    filters: DataFrame,
+    seen_exact: DataFrame,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """The admission gate (S2/J3, crawler.go:94-102 inverted: we keep
+    the UNKNOWN urls for discovery; `resolveIDs` keeps unknowns too,
+    process.go:186-206).
+
+    definitely-new (bloom negative — no join at all) UNION
+    (bloom positive, exactly verified new via left_anti). At scale the
+    anti-join probe side is only the positives (~seen + 1% FP)."""
+    probed = probe_seen(candidates, filters, n_buckets)
+    fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    positives = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+    verified_new = positives.join(seen_exact.select("url"), "url", "left_anti")
+    return fresh.unionByName(verified_new)

@@ -1,0 +1,105 @@
+"""End-to-end crawl gates: bootstrap -> scheduled fetches -> link
+discovery -> delta/walk repair -> arbiter promotion, with
+checkpoint/resume equality and run-to-run determinism of the crawl
+ordering and URL-seen set (north_rule)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from crawler_spark import datagen, engine
+
+NOW = dt.datetime(2025, 6, 1, tzinfo=dt.timezone.utc)
+
+
+def _web(spark):
+    """A 40-page synthetic web over a ring+chords graph so discovery
+    has somewhere to go."""
+    follows = {i: sorted({(i + 1) % 40, (i + 7) % 40} - {i}) for i in range(40)}
+    return datagen.pages_df(spark, follows), follows
+
+
+def _mk(spark, tmp_path, name):
+    return engine.CrawlEngine(
+        spark,
+        str(tmp_path / name),
+        walks_per_node=20,
+        n_buckets=8,
+        batch_size=10,
+        promotion_wait_s=0.0,
+        seed=42,
+    )
+
+
+def _run(spark, tmp_path, name, epochs=4):
+    web, _ = _web(spark)
+    eng = _mk(spark, tmp_path, name)
+    seeds = [datagen.node_url(i) for i in (0, 1, 2)]
+    eng.bootstrap(seeds, NOW)
+    order = []
+    stats = []
+    for k in range(epochs):
+        now = NOW + dt.timedelta(minutes=k + 1)
+        batch, eng.frontier = __import__(
+            "crawler_spark.frontier", fromlist=["schedule_batch"]
+        ).schedule_batch(
+            eng.frontier, None, now, tick_seconds=eng.tick_seconds,
+            batch_size=eng.batch_size,
+        )
+        urls = [r.url for r in batch.orderBy(F.desc("priority"), "url").collect()]
+        order.append(urls)
+        eng.epoch += 1
+        fetched = web.join(batch.select("url"), "url", "left_semi")
+        s = eng.process_pages(fetched, now)
+        s.update(eng.maybe_arbiter(now))
+        eng._commit(now, s)
+        stats.append(s)
+    return eng, order, stats
+
+
+def test_crawl_discovers_and_promotes(spark, tmp_path):
+    eng, order, stats = _run(spark, tmp_path, "run1")
+    # seeds fetched first epoch
+    assert order[0] and set(order[0]) <= {datagen.node_url(i) for i in (0, 1, 2)}
+    # discovery happened: nodes grew beyond the 3 seeds
+    assert eng.nodes.count() > 3
+    # edges materialized from extracted links
+    assert eng.edges.count() > 0
+    # walk store stays consistent: every path starts at its start_id
+    assert eng.walks.filter(
+        F.element_at("path", 1) != F.col("start_id")
+    ).count() == 0
+    # someone got promoted and re-enqueued across the epochs
+    assert any(s.get("promoted", 0) > 0 for s in stats)
+    # frontier states are only the known enum
+    states = {r.state for r in eng.frontier.select("state").distinct().collect()}
+    assert states <= {"queued", "fetched", "blocked"}
+
+
+def test_crawl_ordering_and_seen_set_deterministic(spark, tmp_path):
+    eng1, order1, _ = _run(spark, tmp_path, "det_a")
+    eng2, order2, _ = _run(spark, tmp_path, "det_b")
+    assert order1 == order2
+    seen1 = sorted(r.url for r in eng1.nodes.select("url").collect())
+    seen2 = sorted(r.url for r in eng2.nodes.select("url").collect())
+    assert seen1 == seen2
+    ids1 = sorted((r.url, r.node_id) for r in eng1.nodes.collect())
+    ids2 = sorted((r.url, r.node_id) for r in eng2.nodes.collect())
+    assert ids1 == ids2
+
+
+def test_resume_from_checkpoint(spark, tmp_path):
+    eng1, order1, _ = _run(spark, tmp_path, "resume", epochs=2)
+    # a second engine resumes from the same catalog root
+    eng2 = _mk(spark, tmp_path, "resume")
+    eng2.resume()
+    assert eng2.epoch == eng1.epoch
+    for tab in ("nodes", "edges", "walks", "frontier"):
+        a = getattr(eng1, tab)
+        b = getattr(eng2, tab)
+        assert sorted(map(str, a.collect())) == sorted(map(str, b.collect())), tab
+    # and continues: one more epoch on the resumed engine works
+    web, _ = _web(spark)
+    s = eng2.run_epoch(web, NOW + dt.timedelta(minutes=30))
+    assert s["scheduled"] >= 0
+    assert eng2.epoch == eng1.epoch + 1

@@ -1,0 +1,233 @@
+"""Gates for the URL-seen layer (bloom/cuckoo + exact verify), the
+politeness/priority scheduler, the arbiter (reference
+pkg/crawler/arbiter_test.go scenarios), and catalog snapshots."""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark import catalog, datagen, frontier, schemas, seen, walks_gen
+
+NOW = dt.datetime(2025, 6, 1, tzinfo=dt.timezone.utc)
+
+
+def _urls(prefix, n, host="a.test"):
+    return [f"https://{host}/{prefix}{i}" for i in range(n)]
+
+
+# ---- filters, local semantics ----
+
+def test_bloom_no_false_negatives_and_low_fp():
+    f = seen.BloomFilter.sized_for(5000)
+    inset = pd.Series(_urls("in", 5000))
+    out = pd.Series(_urls("out", 20000))
+    f.add(inset)
+    assert f.contains(inset).all()
+    fp = f.contains(out).mean()
+    assert fp < 0.05, fp
+
+
+def test_cuckoo_add_contains_delete():
+    f = seen.CuckooFilter.sized_for(4000)
+    inset = pd.Series(_urls("in", 4000))
+    fails = f.add(inset)
+    assert fails == 0
+    assert f.contains(inset).all()
+    out = pd.Series(_urls("out", 20000))
+    assert f.contains(out).mean() < 0.05
+    # delete half; deleted items must be gone (no false negatives on rest)
+    half = inset[:2000]
+    found = f.delete(half)
+    assert found.all()
+    assert f.contains(inset[2000:]).all()
+    assert f.contains(half).mean() < 0.05
+
+
+def test_cuckoo_roundtrip_bytes():
+    f = seen.CuckooFilter.sized_for(100)
+    f.add(pd.Series(_urls("x", 100)))
+    g = seen.CuckooFilter.from_bytes(f.nb, f.to_bytes())
+    assert (g.table == f.table).all()
+
+
+# ---- distributed admission ----
+
+def test_admit_new_urls_matches_exact_antijoin(spark):
+    hosts = [f"h{i}.test" for i in range(20)]
+    seen_urls = [f"https://{hosts[i % 20]}/p{i}" for i in range(3000)]
+    cand_urls = [f"https://{hosts[i % 20]}/p{i}" for i in range(1500, 6000)]
+    seen_df = spark.createDataFrame([(u,) for u in seen_urls], "url string")
+    cand_df = spark.createDataFrame([(u,) for u in cand_urls], "url string")
+    filters = seen.build_seen_filters(seen_df, n_buckets=16)
+    admitted = seen.admit_new_urls(cand_df, filters, seen_df, n_buckets=16)
+    got = sorted(r.url for r in admitted.collect())
+    want = sorted(
+        r.url for r in cand_df.join(seen_df, "url", "left_anti").collect()
+    )
+    assert got == want
+
+
+def test_probe_seen_flags(spark):
+    seen_df = spark.createDataFrame([(u,) for u in _urls("s", 500)], "url string")
+    filters = seen.build_seen_filters(seen_df, n_buckets=4)
+    probed = seen.probe_seen(seen_df, filters, n_buckets=4)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0  # no false negatives
+
+
+# ---- scheduler ----
+
+def _frontier_df(spark, rows):
+    return spark.createDataFrame(rows, schema=schemas.FRONTIER)
+
+
+def test_schedule_politeness_and_priority(spark):
+    rows = []
+    for h, n in (("a.test", 10), ("b.test", 10)):
+        for i in range(n):
+            rows.append(
+                (f"https://{h}/p{i}", h, None, float(i), NOW, None, "queued")
+            )
+    fr = _frontier_df(spark, rows)
+    robots = spark.createDataFrame(
+        [("a.test", None, 30.0), ("b.test", None, 10.0)], schema=schemas.ROBOTS
+    )
+    batch, fr2 = frontier.schedule_batch(
+        fr, robots, NOW, tick_seconds=60.0, batch_size=50
+    )
+    got = batch.collect()
+    by_host = {}
+    for r in got:
+        by_host.setdefault(r.host, []).append(r)
+    # budgets: a.test floor(60/30)=2, b.test floor(60/10)=6
+    assert len(by_host["a.test"]) == 2
+    assert len(by_host["b.test"]) == 6
+    # highest-priority urls of each host picked
+    assert {r.url for r in by_host["a.test"]} == {
+        "https://a.test/p9", "https://a.test/p8"
+    }
+    # scheduled rows flipped to fetched
+    assert fr2.filter(F.col("state") == "fetched").count() == 8
+
+
+def test_schedule_robots_block_and_batch_limit(spark):
+    rows = [
+        (f"https://c.test/p{i}", "c.test", None, float(i), NOW, None, "queued")
+        for i in range(10)
+    ] + [
+        (f"https://d.test/q{i}", "d.test", None, 0.5, NOW, None, "queued")
+        for i in range(5)
+    ]
+    fr = _frontier_df(spark, rows)
+    robots = spark.createDataFrame(
+        [("c.test", "/p", 0.1), ("d.test", None, 0.1)], schema=schemas.ROBOTS
+    )
+    batch, fr2 = frontier.schedule_batch(
+        fr, robots, NOW, tick_seconds=60.0, batch_size=3
+    )
+    got = batch.collect()
+    # all c.test /p* urls robots-blocked; only d.test scheduled, top 3
+    assert all(r.host == "d.test" for r in got)
+    assert len(got) == 3
+    assert fr2.filter(F.col("state") == "blocked").count() == 10
+    # deterministic: url ascending within equal priority
+    assert [r.url for r in got] == [
+        "https://d.test/q0", "https://d.test/q1", "https://d.test/q2"
+    ]
+
+
+def test_schedule_deterministic_across_partitionings(spark):
+    rows = [
+        (f"https://h{i%7}.test/p{i}", f"h{i%7}.test", None, float(i % 13),
+         NOW, None, "queued")
+        for i in range(200)
+    ]
+    fr1 = _frontier_df(spark, rows).repartition(2)
+    fr2 = _frontier_df(spark, rows).repartition(17)
+    b1, _ = frontier.schedule_batch(fr1, None, NOW, 10.0, 20)
+    b2, _ = frontier.schedule_batch(fr2, None, NOW, 10.0, 20)
+    assert [r.url for r in b1.collect()] == [r.url for r in b2.collect()]
+
+
+# ---- arbiter ----
+
+def _nodes_df(spark, rows):
+    return spark.createDataFrame(rows, schema=schemas.NODES)
+
+
+def test_arbiter_scenarios(spark):
+    """arbiter.go:166-189: demote active below 1.05*wpn visits; promote
+    inactive at/above 0.1*wpn visits once older than the wait period."""
+    wpn = 100
+    old = NOW - dt.timedelta(hours=2)
+    fresh = NOW - dt.timedelta(minutes=5)
+    nodes = _nodes_df(spark, [
+        (0, "https://n0.test/", "active", old, None, None),    # stays (visits high)
+        (1, "https://n1.test/", "active", old, None, None),    # demote (low visits)
+        (2, "https://n2.test/", "inactive", old, None, None),  # promote
+        (3, "https://n3.test/", "inactive", fresh, None, None),# too new
+        (4, "https://n4.test/", "inactive", old, None, None),  # below threshold
+    ])
+    # visits: node0=200, node1=10, node2=30, node3=500, node4=5
+    paths = (
+        [(i, 0) for i in range(200)] + [(200 + i, 1) for i in range(10)]
+        + [(300 + i, 2) for i in range(30)] + [(400 + i, 3) for i in range(500)]
+        + [(1000 + i, 4) for i in range(5)]
+    )
+    walks = spark.createDataFrame(
+        [(wid, n, [n]) for wid, n in paths],
+        "walk_id long, start_id long, path array<long>",
+    )
+    dec = frontier.arbiter_decisions(nodes, walks, NOW, walks_per_node=wpn)
+    got = {r.node_id: r.decision for r in dec.collect()}
+    assert got == {0: "keep", 1: "demote", 2: "promote", 3: "keep", 4: "keep"}
+
+
+def test_apply_arbiter_flips_and_walks(spark):
+    fx = datagen.FIXTURES["triangle"]
+    edges = spark.createDataFrame(fx.edge_list(), "src long, dst long")
+    old = NOW - dt.timedelta(hours=2)
+    nodes = _nodes_df(spark, [
+        (0, "https://node0.test/", "active", old, None, None),
+        (1, "https://node1.test/", "inactive", old, None, None),
+        (2, "https://node2.test/", "active", old, None, None),
+    ])
+    walks = walks_gen.generate_walks(
+        spark, edges,
+        spark.createDataFrame([(0,), (2,)], "node_id long"),
+        walks_per_node=20, seed=42,
+    ).localCheckpoint()
+    dec = frontier.arbiter_decisions(nodes, walks, NOW, walks_per_node=20)
+    n2, w2, promoted = frontier.apply_arbiter(
+        spark, nodes, walks, edges, dec, NOW, walks_per_node=20, seed=42
+    )
+    # node1 gets promoted (visited by others' walks), gains 20 walks
+    assert [r.node_id for r in promoted.collect()] == [1]
+    st = {r.node_id: r.status for r in n2.collect()}
+    assert st[1] == "active"
+    assert w2.filter(F.col("start_id") == 1).count() == 20
+    assert w2.count() == walks.count() + 20
+
+
+# ---- catalog snapshots ----
+
+def test_catalog_snapshot_commit_and_resume(spark, tmp_path):
+    cat = catalog.Catalog(str(tmp_path / "tables"))
+    df1 = spark.range(10).withColumnRenamed("id", "x")
+    s1 = cat.write("t", df1, epoch=1, metrics={"rows": 10})
+    assert s1.version == 0 and s1.n_rows == 10 and s1.files
+    df2 = spark.range(25).withColumnRenamed("id", "x")
+    s2 = cat.write("t", df2, epoch=2)
+    assert s2.version == 1
+    assert cat.current("t").epoch == 2
+    assert cat.read(spark, "t").count() == 25
+    # time travel
+    assert cat.read(spark, "t", version=0).count() == 10
+    # crash-safety: an uncommitted version dir is invisible
+    import os
+    os.makedirs(tmp_path / "tables" / "t" / "v9999")
+    assert cat.current("t").version == 1
+    # lineage recorded per file
+    assert all("bytes" in f for f in s2.files)
