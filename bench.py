@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line
+{"metric", "value", "unit", "queries", "sf", ...extras}.
+
+Headline set = the engine's hot paths: walk generation + MC pagerank
+(the core numeric loop), the scheduler window, admission through the
+bloom filters, and the corpus pipeline (dedup/minhash/ANN/textstats).
+Extra keys report the BASELINE metrics: walks/s and frontier URLs/s.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", cpus)
+    from crawler_spark import contract, rank, walks_gen
+    from crawler_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def bench(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        print(f"  {name}: {dt:.2f}s", file=sys.stderr)
+        return out
+
+    # q1: walk generation + global pagerank (the core numeric loop).
+    # Also yields the walks/s throughput number for BASELINE.md.
+    def q_walks():
+        edges = contract._events_edges(spark, sf_dir)
+        starts = edges.select(F.col("src").alias("node_id")).distinct()
+        walks = walks_gen.generate_walks(
+            spark, edges, starts, walks_per_node=100, seed=42,
+            strategy="broadcast",
+        )
+        scores = rank.global_pagerank(walks)
+        n = scores.count()
+        extras["n_walk_starts"] = starts.count()
+        return n
+
+    bench("q1_walks_pagerank", q_walks)
+    n_walks = extras.pop("n_walk_starts") * 100
+    extras["walks_per_sec"] = round(n_walks / timings["q1_walks_pagerank"], 1)
+
+    # q2: frontier schedule (politeness window + priority order)
+    def q_sched():
+        return contract.q_w3_politeness_schedule(spark, sf_dir).count()
+
+    bench("q2_schedule", q_sched)
+
+    # q3: admission through partitioned bloom + exact verify
+    def q_admit():
+        return contract.q_s2_admission_seen_filter(spark, sf_dir).count()
+
+    n_admitted = bench("q3_admission", q_admit)
+    extras["frontier_urls_per_sec"] = round(
+        (n_admitted or 1) / timings["q3_admission"], 1
+    )
+
+    # q4: latest-page dedup window (W1)
+    bench("q4_latest_dedup", lambda: contract.q_s4_latest_event_dedup(
+        spark, sf_dir).count())
+
+    # q5: delta algebra (T3) over 600k lineitem rows
+    bench("q5_delta_partition", lambda: contract.q_t3_delta_partition(
+        spark, sf_dir).count())
+
+    # q6: exact dedup over documents
+    bench("q6_dedup_exact", lambda: contract.q_dedup_exact(
+        spark, sf_dir).count())
+
+    # q7: minhash LSH candidate pairs
+    bench("q7_minhash_lsh", lambda: contract.q_dedup_minhash_lsh(
+        spark, sf_dir).count())
+
+    # q8: ANN cosine top-k
+    bench("q8_ann_topk", lambda: contract.q_ann_cosine_topk(
+        spark, sf_dir).count())
+
+    # q9: text stats (langid/quality/tokens/fingerprint)
+    bench("q9_text_stats", lambda: contract.q_text_stats(
+        spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": int(cpus) if str(cpus).isdigit() else cpus,
+        **extras,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

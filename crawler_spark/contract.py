@@ -1,0 +1,612 @@
+"""Driver-contract queries: every SQL-expressible operator from
+SURVEY.md §2 (and the pipeline-ops layer) as a (spark, sf_dir) ->
+DataFrame callable paired with an exact DuckDB oracle.
+
+The driver runs each pair side-by-side at sf=0.01 and compares
+row count + schema + order-insensitive value-hash, so:
+ - every computed column is aliased identically in both,
+ - every double is rounded (6 or 9 dp) in both,
+ - every ranking has a total order (score, then id).
+
+Crawl-core operators whose inputs are themselves engine state (walk
+generation, pagerank, personalized pagerank) are included as
+rows-only entries (no oracle): they are gated by the analytic-fixture
+pytest suites instead (tests/test_walks.py, test_ppr.py).
+
+The graph used by relational demonstrations derives deterministically
+from the driver's own tables (events/lineitem), never from external
+data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import graph, rank, seen, walks_gen
+from . import frontier as frontier_mod
+from .functions.extract import is_valid_url, url_host
+from .ops import dedup, similarity, textstats
+
+SPLIT_TS = "1998-06-01 00:00:00"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _user_url(col):
+    """Deterministic url per user id: 1-in-7 malformed (exercises the
+    validity filter), else https://host<id%20>.test/u<id>."""
+    return F.when(
+        col % 7 == 0, F.concat(F.lit("ftp://bad"), col.cast("string"))
+    ).otherwise(
+        F.concat(
+            F.lit("https://host"),
+            (col % 20).cast("string"),
+            F.lit(".test/u"),
+            col.cast("string"),
+        )
+    )
+
+
+_USER_URL_SQL = (
+    "case when {c} % 7 = 0 then 'ftp://bad' || cast({c} as varchar) "
+    "else 'https://host' || cast({c} % 20 as varchar) || '.test/u' "
+    "|| cast({c} as varchar) end"
+)
+
+
+def _events_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived follow graph over the events table: src = user_id,
+    dst = (json props k * 7) mod 150 — deterministic, skewed-ish."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select(
+            F.col("user_id").alias("src"), ((k * 7) % 150).alias("dst")
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+
+
+# ---------------- SQL-checked queries ----------------
+
+
+def q_s4_latest_event_dedup(spark, sf_dir):
+    """W1/S4 latest-per-(key,kind) dedup (crawler.go:206-217)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+def q_s2_admission_seen_filter(spark, sf_dir):
+    """S2/J3 admission via the partitioned bloom + exact verify: which
+    customer keys are NOT already seen as event users. The bloom is an
+    optimization — the admitted set is exactly the anti-join."""
+    seen_urls = (
+        _t(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("uid"))
+        .distinct()
+        .select(_user_url(F.col("uid")).alias("url"))
+    )
+    candidates = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("uid"))
+        .distinct()
+        .select(_user_url(F.col("uid")).alias("url"))
+    )
+    filters = seen.build_seen_filters(seen_urls, n_buckets=16)
+    return seen.admit_new_urls(candidates, filters, seen_urls, 16).select("url")
+
+
+def q_a1_visit_counts(spark, sf_dir):
+    """A1 VisitCounts shape: one hash agg (store.go:169-194)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("node_id"))
+        .agg(F.count("*").alias("visits"))
+    )
+
+
+def q_a3_global_rank(spark, sf_dir):
+    """A3 rank = visits/total (pagerank.go:17-44) over event counts."""
+    ev = _t(spark, sf_dir, "events")
+    total = ev.count()
+    return (
+        ev.groupBy(F.col("user_id").alias("node_id"))
+        .agg(F.count("*").alias("visits"))
+        .select(
+            "node_id",
+            F.round(F.col("visits") / F.lit(float(total)), 9).alias("rank"),
+        )
+    )
+
+
+def q_a5_degrees(spark, sf_dir):
+    """A5 Follow/FollowerCounts over the derived graph."""
+    e = _events_edges(spark, sf_dir)
+    out_deg = graph.follow_counts(e)
+    in_deg = graph.follower_counts(e)
+    return (
+        out_deg.join(in_deg, "node_id", "full")
+        .select(
+            "node_id",
+            F.coalesce("follow_count", F.lit(0)).alias("follow_count"),
+            F.coalesce("follower_count", F.lit(0)).alias("follower_count"),
+        )
+    )
+
+
+def q_j2_adjacency_lists(spark, sf_dir):
+    """J2 bulk Follows as sorted adjacency arrays."""
+    return graph.adjacency_lists(_events_edges(spark, sf_dir)).select(
+        F.col("src").alias("node_id"), "follows"
+    )
+
+
+def q_t3_delta_partition(spark, sf_dir):
+    """T3 delta algebra (slice.go:74-105): supplier->part sets before/
+    after a split date, partitioned into removed/common/added and
+    exploded to rows for order-insensitive comparison."""
+    li = _t(spark, sf_dir, "lineitem")
+    old = (
+        li.filter(F.col("l_shipdate") < F.lit(SPLIT_TS).cast("timestamp"))
+        .groupBy(F.col("l_suppkey").alias("node_id"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("old_follows"))
+    )
+    new = (
+        li.filter(F.col("l_shipdate") >= F.lit(SPLIT_TS).cast("timestamp"))
+        .groupBy(F.col("l_suppkey").alias("node_id"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("new_follows"))
+    )
+    deltas = graph.delta_partition(old.join(new, "node_id", "full"))
+    parts = [
+        deltas.select(
+            "node_id", F.lit(kind).alias("kind"), F.explode(kind).alias("member")
+        )
+        for kind in ("removed", "common", "added")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_w2_topk(spark, sf_dir):
+    """W2 top-k with total order (scores.orderBy desc, id)."""
+    counts = q_a1_visit_counts(spark, sf_dir)
+    w = Window.orderBy(F.desc("visits"), F.asc("node_id"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("node_id", "visits", "rn")
+    )
+
+
+def q_w3_politeness_schedule(spark, sf_dir):
+    """W3 scheduler: per-host budget window + global priority order,
+    through the REAL frontier.schedule_batch operator."""
+    import datetime as dt
+
+    ev = _t(spark, sf_dir, "events")
+    now = dt.datetime(2025, 1, 1)
+    fr = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").cast("double").alias("priority"))
+        .filter(F.col("user_id") % 7 != 0)  # valid urls only
+        .select(
+            _user_url(F.col("user_id")).alias("url"),
+            F.concat(
+                F.lit("host"), (F.col("user_id") % 20).cast("string"), F.lit(".test")
+            ).alias("host"),
+            F.col("user_id").alias("node_id"),
+            "priority",
+            F.lit(now).cast("timestamp").alias("enqueued_ts"),
+            F.lit(None).cast("timestamp").alias("fetched_ts"),
+            F.lit("queued").alias("state"),
+        )
+    )
+    batch, _ = frontier_mod.schedule_batch(
+        fr, None, now, tick_seconds=3.0, batch_size=50,
+        default_crawl_delay_s=1.0,
+    )
+    return batch.select("url", "host", "node_id", "priority")
+
+
+def q_m12_mint_node_ids(spark, sf_dir):
+    """M12 deterministic dense-id minting for unseen urls."""
+    seen_urls = (
+        _t(spark, sf_dir, "events")
+        .select(_user_url(F.col("user_id")).alias("url"))
+        .distinct()
+    )
+    cand = (
+        _t(spark, sf_dir, "customer")
+        .select(_user_url(F.col("c_custkey")).alias("url"))
+        .distinct()
+    )
+    nodes = seen_urls.withColumn(
+        "node_id",
+        F.row_number().over(Window.orderBy("url")).cast("long") - 1,
+    ).select("node_id", "url", F.lit("active").alias("status"),
+             F.lit(None).cast("timestamp").alias("added_ts"),
+             F.lit(None).cast("timestamp").alias("promoted_ts"),
+             F.lit(None).cast("timestamp").alias("demoted_ts"))
+    return graph.mint_node_ids(nodes, cand).select("node_id", "url")
+
+
+def q_p6_url_validity(spark, sf_dir):
+    """P6 url validity + host extraction (the IsValidPublicKey role)."""
+    urls = (
+        _t(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("uid"))
+        .distinct()
+        .select(F.col("uid"), _user_url(F.col("uid")).alias("url"))
+    )
+    return urls.filter(is_valid_url(F.col("url"))).select(
+        "uid", "url", url_host(F.col("url")).alias("host")
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return dedup.lsh_candidate_pairs(
+        _t(spark, sf_dir, "documents"), n_hashes=8, bands=4
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.6
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash32(_t(spark, sf_dir, "documents"))
+
+
+def q_text_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        textstats.token_count(t).alias("n_tokens"),
+        textstats.bpe_token_estimate(t).alias("n_bpe_tokens"),
+        textstats.lang_id(t).alias("lang_guess"),
+        textstats.quality_score(t).alias("quality"),
+        textstats.fingerprint(t).alias("fp"),
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.filter("vec_id < 10"), k=10)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").filter("vec_id < 200")
+    return dedup.embedding_near_dup_pairs(emb, threshold=0.8)
+
+
+# ---------------- rows-only (non-SQL-expressible) ----------------
+
+
+def q_mc_pagerank(spark, sf_dir):
+    """Monte-Carlo pagerank over the derived events graph — walk
+    generation is iterative+stochastic, not SQL; gated by the
+    analytic-fixture pytest suite instead."""
+    edges = _events_edges(spark, sf_dir)
+    starts = edges.select(F.col("src").alias("node_id")).distinct()
+    walks = walks_gen.generate_walks(
+        spark, edges, starts, walks_per_node=100, seed=42, strategy="broadcast"
+    )
+    scores = rank.global_pagerank(walks, nodes=starts)
+    return scores.select("node_id", F.round("rank", 6).alias("rank"))
+
+
+def q_ppr_source0(spark, sf_dir):
+    from . import ppr
+
+    edges = _events_edges(spark, sf_dir)
+    starts = edges.select(F.col("src").alias("node_id")).distinct()
+    walks = walks_gen.generate_walks(
+        spark, edges, starts, walks_per_node=100, seed=42, strategy="broadcast"
+    )
+    scores = ppr.personalized_pagerank(spark, edges, walks, 0, top_k=20, seed=42)
+    return scores.select("node_id", F.round("rank", 6).alias("rank"))
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "s4_latest_event_dedup": q_s4_latest_event_dedup,
+    "s2_admission_seen_filter": q_s2_admission_seen_filter,
+    "a1_visit_counts": q_a1_visit_counts,
+    "a3_global_rank": q_a3_global_rank,
+    "a5_degrees": q_a5_degrees,
+    "j2_adjacency_lists": q_j2_adjacency_lists,
+    "t3_delta_partition": q_t3_delta_partition,
+    "w2_topk": q_w2_topk,
+    "w3_politeness_schedule": q_w3_politeness_schedule,
+    "m12_mint_node_ids": q_m12_mint_node_ids,
+    "p6_url_validity": q_p6_url_validity,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "text_stats": q_text_stats,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "mc_pagerank": q_mc_pagerank,
+    "ppr_source0": q_ppr_source0,
+}
+
+
+# ---------------- DuckDB oracles ----------------
+
+_URL_E = _USER_URL_SQL.format(c="user_id")
+_URL_O = _USER_URL_SQL.format(c="o_custkey")
+_URL_C = _USER_URL_SQL.format(c="c_custkey")
+
+_EDGES_SQL = (
+    "select distinct user_id as src, "
+    "(cast(json_extract_string(props, '$.k') as bigint) * 7) % 150 as dst "
+    "from events where (cast(json_extract_string(props, '$.k') as bigint) * 7) % 150 "
+    "is not null and user_id != (cast(json_extract_string(props, '$.k') as bigint) * 7) % 150"
+)
+
+_TEXTSTAT_MARKERS = {
+    "en": [" the ", " and ", " of ", " is "],
+    "de": [" der ", " die ", " und ", " ist "],
+    "fr": [" le ", " la ", " et ", " est "],
+    "es": [" el ", " los ", " que ", " es "],
+}
+
+
+def _occ_sql(marker: str) -> str:
+    m = marker.replace("'", "''")
+    return (
+        f"(length(padded) - length(replace(padded, '{m}', ''))) / {len(marker)}.0"
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    return " + ".join(_occ_sql(m) for m in _TEXTSTAT_MARKERS[lang])
+
+
+def _lang_id_sql() -> str:
+    scores = {L: f"score_{L}" for L in _TEXTSTAT_MARKERS}
+    best = f"greatest({', '.join(scores.values())})"
+    cases = " ".join(
+        f"when {best} > 0 and score_{L} = {best} then '{L}'"
+        for L in _TEXTSTAT_MARKERS
+    )
+    return f"case {cases} else 'und' end"
+
+
+def _minhash_sql(n_hashes: int, bands: int) -> str:
+    r = n_hashes // bands
+    mins = ", ".join(
+        f"min(md5(shingle || '#{h}')) as mh{h}" for h in range(n_hashes)
+    )
+    band_keys = ", ".join(
+        "concat_ws('|', "
+        + ", ".join(f"mh{b * r + i}" for i in range(r))
+        + f") as key{b}"
+        for b in range(bands)
+    )
+    band_rows = " union all ".join(
+        f"select doc_id, {b} as band, key{b} as key from keys" for b in range(bands)
+    )
+    return f"""
+with sh as (
+  select doc_id, lower(text) as lt from documents
+), shingles as (
+  select distinct doc_id,
+         substring(lt, i, 3) as shingle
+  from sh, unnest(generate_series(1, greatest(length(lt) - 2, 1))) as t(i)
+), sigs as (
+  select doc_id, {mins} from shingles group by doc_id
+), keys as (
+  select doc_id, {band_keys} from sigs
+), bands as (
+  select doc_id, band, key from ({band_rows})
+)
+select distinct a.doc_id as doc_a, b.doc_id as doc_b
+from bands a join bands b on a.band = b.band and a.key = b.key
+where a.doc_id < b.doc_id
+"""
+
+
+ORACLES: dict[str, str] = {
+    "s4_latest_event_dedup": """
+select user_id, event_type, event_id, ts from (
+  select *, row_number() over (
+    partition by user_id, event_type order by ts desc, event_id desc) rn
+  from events) where rn = 1
+""",
+    "s2_admission_seen_filter": f"""
+with cand as (select distinct {_URL_O} as url from orders),
+     seen as (select distinct {_URL_E} as url from events)
+select url from cand where url not in (select url from seen)
+""",
+    "a1_visit_counts": """
+select user_id as node_id, count(*) as visits from events group by user_id
+""",
+    "a3_global_rank": """
+select user_id as node_id,
+       round(count(*) / (select count(*) * 1.0 from events), 9) as rank
+from events group by user_id
+""",
+    "a5_degrees": f"""
+with e as ({_EDGES_SQL}),
+ o as (select src as node_id, count(*) as follow_count from e group by src),
+ i as (select dst as node_id, count(*) as follower_count from e group by dst)
+select coalesce(o.node_id, i.node_id) as node_id,
+       coalesce(follow_count, 0) as follow_count,
+       coalesce(follower_count, 0) as follower_count
+from o full outer join i on o.node_id = i.node_id
+""",
+    "j2_adjacency_lists": f"""
+with e as ({_EDGES_SQL})
+select src as node_id, list_sort(list(dst)) as follows from e group by src
+""",
+    "t3_delta_partition": f"""
+with old as (select distinct l_suppkey s, l_partkey p from lineitem
+             where l_shipdate < timestamp '{SPLIT_TS}'),
+     new as (select distinct l_suppkey s, l_partkey p from lineitem
+             where l_shipdate >= timestamp '{SPLIT_TS}')
+select s as node_id, 'removed' as kind, p as member
+  from (select * from old except select * from new)
+union all
+select s, 'common', p from (select * from old intersect select * from new)
+union all
+select s, 'added', p from (select * from new except select * from old)
+""",
+    "w2_topk": """
+select node_id, visits, rn from (
+  select user_id as node_id, count(*) as visits,
+         row_number() over (order by count(*) desc, user_id) as rn
+  from events group by user_id) where rn <= 20
+""",
+    "w3_politeness_schedule": f"""
+with f as (
+  select {_URL_E} as url,
+         'host' || cast(user_id % 20 as varchar) || '.test' as host,
+         user_id as node_id,
+         cast(count(*) as double) as priority
+  from events where user_id % 7 != 0 group by user_id
+), r as (
+  select *, row_number() over (
+     partition by host order by priority desc, url) rn from f
+)
+select url, host, node_id, priority from r where rn <= 3
+order by priority desc, url limit 50
+""",
+    "m12_mint_node_ids": f"""
+with seen as (select distinct {_URL_E} as url from events),
+     cand as (select distinct {_URL_C} as url from customer),
+     base as (select count(*) as max_id from seen),
+     new as (select url from cand where url not in (select url from seen))
+select (select max_id from base) + row_number() over (order by url) - 1
+         as node_id, url
+from new
+""",
+    "p6_url_validity": f"""
+with urls as (select distinct user_id as uid, {_URL_E} as url from events)
+select uid, url, regexp_extract(url, '^https?://([^/]+)', 1) as host
+from urls
+where url is not null and length(url) <= 2048
+  and (url like 'https://%' and length(url) > 8
+       or url like 'http://%' and length(url) > 7)
+""",
+    "dedup_exact": """
+with fp as (select doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) f
+            from documents)
+select doc_id, min(doc_id) over (partition by f) as keeper_id,
+       doc_id != min(doc_id) over (partition by f) as is_dup
+from fp
+""",
+    "dedup_minhash_lsh": _minhash_sql(8, 4),
+    "dedup_ngram_jaccard": """
+with sh as (select doc_id, lower(text) lt from documents),
+ shingles as (
+  select distinct doc_id, substring(lt, i, 3) as shingle
+  from sh, unnest(generate_series(1, greatest(length(lt) - 2, 1))) as t(i)
+), sizes as (select doc_id, count(*) sz from shingles group by doc_id),
+ inter as (
+  select a.doc_id doc_a, b.doc_id doc_b, count(*) inter
+  from shingles a join shingles b using (shingle)
+  where a.doc_id < b.doc_id group by 1, 2
+)
+select doc_a, doc_b,
+       round(inter / (sa.sz + sb.sz - inter * 1.0), 6) as jaccard
+from inter
+join sizes sa on sa.doc_id = doc_a
+join sizes sb on sb.doc_id = doc_b
+where inter / (sa.sz + sb.sz - inter * 1.0) >= 0.6
+""",
+    "dedup_simhash": (
+        """
+with toks as (
+  select doc_id, tok from (
+    select doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) as tok
+    from documents) where length(tok) > 0
+), h as (
+  select doc_id, ('0x' || substring(md5(tok), 1, 8))::bigint as hv from toks
+), bits as (
+  select doc_id, count(*) as n, """
+        + ", ".join(f"sum((hv >> {b}) % 2) as s{b}" for b in range(32))
+        + """
+  from h group by doc_id
+)
+select doc_id, ("""
+        + " + ".join(
+            f"(case when s{b} * 2 >= n then 1 else 0 end)::bigint * {2**b}"
+            for b in range(32)
+        )
+        + """) as simhash
+from bits
+"""
+    ),
+    "text_stats": f"""
+with base as (
+  select doc_id, text, ' ' || lower(text) || ' ' as padded,
+         {', '.join(f"{_lang_score_sql(L)} as score_{L}" for L in _TEXTSTAT_MARKERS)}
+  from documents
+)
+select doc_id,
+  case when length(trim(text)) = 0 then 0
+       else len(regexp_split_to_array(trim(text), '\\s+')) end as n_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) as n_bpe_tokens,
+  {_lang_id_sql()} as lang_guess,
+  round(
+    0.4 * (case when length(text) = 0 then 0.0
+           else length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                / length(text) end)
+  + 0.2 * (1.0 - least((case when length(text) = 0 then 0.0
+           else length(regexp_replace(text, '[^.,;:!?''\\"()-]', '', 'g')) * 1.0
+                / length(text) end) * 5.0, 1.0))
+  + 0.2 * (case when (case when (case when length(trim(text)) = 0 then 0
+              else len(regexp_split_to_array(trim(text), '\\s+')) end) = 0 then 0.0
+           else length(regexp_replace(text, '\\s', '', 'g')) * 1.0
+                / (case when length(trim(text)) = 0 then 0
+                   else len(regexp_split_to_array(trim(text), '\\s+')) end) end)
+           between 3.0 and 12.0 then 1.0 else 0.3 end)
+  + 0.2 * least(length(text) / 500.0, 1.0), 6) as quality,
+  md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) as fp
+from base
+""",
+    "ann_cosine_topk": """
+with q as (select vec_id as query_id, embedding as qv from embeddings
+           where vec_id < 10),
+ scored as (
+  select q.query_id, e.vec_id,
+         round(list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]), 6) as cos
+  from q cross join embeddings e where q.query_id != e.vec_id
+), ranked as (
+  select *, row_number() over (
+    partition by query_id order by cos desc, vec_id) rn from scored
+)
+select query_id, vec_id, cos, rn from ranked where rn <= 10
+""",
+    "embedding_near_dup": """
+with e as (select * from embeddings where vec_id < 200)
+select a.vec_id as id_a, b.vec_id as id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) as cos
+from e a cross join e b
+where a.vec_id < b.vec_id
+  and round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.8
+""",
+}

@@ -1,0 +1,220 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+All built on shuffle-frugal primitives:
+ - exact: ONE hash-agg (window-min over the md5 fingerprint) — the
+   same shape as the reference's latest-per-key dedup (W1).
+ - MinHash+LSH: shingle -> md5 minima per (doc, hash-index) -> band
+   keys -> self-join on band key. The self-join touches only rows
+   sharing a band bucket — at 100 TB the candidate-pair blowup is
+   bounded by bucket sizes, never all-pairs.
+ - n-gram Jaccard: exact verification on candidate pairs (or small
+   corpora) via shingle-set intersection counts.
+ - SimHash: 32-bit bitwise-majority signature from token hashes,
+   built entirely from md5/conv column math.
+ - embedding near-dup: cosine over float vectors (see similarity.py
+   for the bucketed scale path).
+
+The hash primitive is md5 so each operator has an exact DuckDB
+oracle (Spark's xxhash64 does not exist there).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import fingerprint
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, keeper_id, is_dup): keeper = min doc_id among identical
+    normalized texts. One shuffle (the window on the fingerprint)."""
+    w = Window.partitionBy("fp")
+    return (
+        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .withColumn("keeper_id", F.min(id_col).over(w))
+        .select(
+            F.col(id_col),
+            "keeper_id",
+            (F.col(id_col) != F.col("keeper_id")).alias("is_dup"),
+        )
+    )
+
+
+def char_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct character k-grams of the lower-cased text (array)."""
+    t = F.lower(text)
+    n = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n), lambda i: F.substring(t, i, k)
+        )
+    )
+
+
+def shingle_rows(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    return docs.select(
+        F.col(id_col), F.explode(char_shingles(F.col(text_col), k)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """(doc_id, sig: array<string>): sig[h] = min(md5(shingle || '#h'))
+    — the classic permutation-free MinHash; collision probability of
+    sig[h] equals the Jaccard similarity of the shingle sets."""
+    sh = shingle_rows(docs, id_col, text_col, k)
+    mins = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{h}")))).alias(
+                f"mh{h}"
+            )
+            for h in range(n_hashes)
+        ]
+    )
+    return mins.select(
+        F.col(id_col), F.array(*[f"mh{h}" for h in range(n_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """(doc_a, doc_b) with doc_a < doc_b sharing >= 1 LSH band. Rows
+    per band bucket join only within the bucket (banding theorem:
+    P[candidate] = 1-(1-J^r)^b with r = n_hashes/bands)."""
+    assert n_hashes % bands == 0
+    r = n_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, n_hashes, k)
+    band_rows = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|", *[F.element_at("sig", b * r + i + 1) for i in range(r)]
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = band_rows.select(F.col(id_col).alias("doc_a"), "band", "key")
+    b = band_rows.select(F.col(id_col).alias("doc_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs with shingle-set Jaccard >=
+    threshold, doc_a < doc_b. Exact: |A∩B| from a shingle equi-join
+    (only docs SHARING a shingle ever meet — no all-pairs), sizes from
+    one agg, J = inter / (|A|+|B|-inter)."""
+    sh = shingle_rows(docs, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash32(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, simhash: long): 32-bit SimHash — for each bit, the
+    majority vote over the doc's token hashes (md5 -> first 8 hex
+    chars -> uint32). Near-dups differ in few bits (hamming).
+
+    Pure column math: explode tokens, one groupBy summing per-bit
+    votes via shiftright/bitwise-and, then recombine."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), "\\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    withbits = toks.select(
+        F.col(id_col),
+        *[
+            (F.shiftright(h, b) % 2).alias(f"b{b}")
+            for b in range(32)
+        ],
+    )
+    agg = withbits.groupBy(id_col).agg(
+        F.count("*").alias("n"),
+        *[F.sum(f"b{b}").alias(f"s{b}") for b in range(32)],
+    )
+    sim = None
+    for b in range(32):
+        bit = F.when(F.col(f"s{b}") * 2 >= F.col("n"), F.lit(1)).otherwise(
+            F.lit(0)
+        ).cast("long") * F.lit(2**b).cast("long")
+        sim = bit if sim is None else sim + bit
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """(id_a, id_b, cos) with cosine >= threshold, id_a < id_b.
+    Brute-force form (correctness baseline); the bucketed scale path
+    is similarity.cosine_topk's LSH variant."""
+    from .similarity import cosine_expr
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,206 @@
+"""Similarity search over embedding columns (array<float>).
+
+ - `cosine_topk`: brute-force cosine top-k — the correctness
+   baseline. The score is a pure column expression
+   (zip_with + aggregate, JVM-side, no Python); top-k is a ranking
+   window per query.
+ - `cosine_topk_lsh`: the scale path — random-hyperplane (sign) LSH:
+   each vector gets a B-bit bucket code from B fixed pseudo-random
+   hyperplanes (counter-RNG, so codes are deterministic and
+   partition-invariant); queries probe only their own bucket (+
+   optional 1-bit-flip neighbors). Turns the O(N·Q) cross join into
+   per-bucket joins — the same bucketing discipline the frontier uses
+   for hosts.
+ - `ivf_topk`: inverted-file variant — corpus assigned to the nearest
+   of C sampled centroids, queries scan their `nprobe` nearest cells.
+
+Scores are rounded to 6 decimals and tie-broken by id so results are
+stable across engines/partitionings (and DuckDB-oracle-comparable).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import rng
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """cos(a,b) as a column expr over two array<float/double> columns,
+    computed in double, rounded to 6 (cross-engine stability)."""
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(da, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform(db, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+    return F.round(dot / (na * nb), 6)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, vec_id, cos, rn) — exact top-k neighbors per query
+    (excluding the query itself), rn = 1..k by (cos DESC, vec_id)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc(id_col)
+    )
+    return (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col(id_col))
+        .withColumn("cos", cosine_expr(F.col("qv"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col, "cos", "rn")
+    )
+
+
+# ---- sign-LSH bucketing (scale path) ----
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes from the counter RNG
+    (gaussian via Box-Muller over two uniform streams)."""
+    idx = np.arange(dim * n_bits)
+    u1 = rng.u01(seed, idx, 61)
+    u2 = rng.u01(seed, idx, 62)
+    g = np.sqrt(-2.0 * np.log(np.clip(u1, 1e-12, 1.0))) * np.cos(2 * np.pi * u2)
+    return g.reshape(n_bits, dim)
+
+
+def add_lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    n_bits: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Attach the sign-LSH bucket code (0..2^n_bits-1) as a column.
+    Column-expression dot products against literal hyperplanes —
+    stays in codegen, no UDF."""
+    planes = _hyperplanes(dim, n_bits, seed)
+    code = F.lit(0).cast("long")
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    for b in range(n_bits):
+        row = planes[b]
+        dot = None
+        for j in range(dim):
+            term = F.element_at(v, j + 1) * F.lit(float(row[j]))
+            dot = term if dot is None else dot + term
+        code = code + F.when(dot > 0, F.lit(2**b)).otherwise(F.lit(0)).cast("long")
+    return df.withColumn(out_col, code)
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: join query and corpus on the LSH bucket
+    (optionally probing all 1-bit-flip neighbor buckets too), then
+    exact cosine within the bucket. Recall rises with multiprobe and
+    falls with n_bits; the cross-join cost falls ~2^n_bits-fold."""
+    c = add_lsh_bucket(
+        corpus.select(F.col(id_col), F.col(vec_col).alias("cv")),
+        dim, n_bits, seed, "cv",
+    )
+    q = add_lsh_bucket(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        dim, n_bits, seed, "qv",
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(2**b)).cast("long")
+                for b in range(n_bits)
+            ],
+        )
+        q = q.select(
+            "query_id", "qv", F.explode(probes).alias("bucket")
+        )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col(id_col))
+        .withColumn("cos", cosine_expr(F.col("qv"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col, "cos", "rn")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Inverted-file ANN: centroids = a deterministic hash-sample of
+    the corpus; every vector indexes to its nearest centroid; queries
+    scan their `nprobe` nearest cells. One small broadcast (the
+    centroids) + per-cell joins."""
+    cent = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.lit(seed), F.col(id_col)))
+        .limit(n_cells)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col(id_col)))
+            .alias("cell"),
+            F.col(vec_col).alias("centroid"),
+        )
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("cv"))
+    assign_w = Window.partitionBy(id_col).orderBy(F.desc("cos_c"), F.asc("cell"))
+    assigned = (
+        c.crossJoin(F.broadcast(cent))
+        .withColumn("cos_c", cosine_expr(F.col("cv"), F.col("centroid")))
+        .withColumn("rc", F.row_number().over(assign_w))
+        .filter(F.col("rc") == 1)
+        .select(id_col, "cell", "cv")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("cos_c"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("cos_c", cosine_expr(F.col("qv"), F.col("centroid")))
+        .withColumn("rc", F.row_number().over(probe_w))
+        .filter(F.col("rc") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        probes.join(assigned, "cell")
+        .filter(F.col("query_id") != F.col(id_col))
+        .withColumn("cos", cosine_expr(F.col("qv"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col, "cos", "rn")
+    )

@@ -1,0 +1,119 @@
+"""Text analysis over document corpora — language-ID, quality
+scoring, token counting, fingerprinting.
+
+Everything here is a pure column expression (whole-stage-codegen'd,
+no Python in the hot path), deliberately built from functions that
+exist identically in ANSI-ish SQL so every operator carries a DuckDB
+oracle. The hash primitive is md5 (stable across engines), the role
+the reference's formatting/hashing utilities play
+(pkg/utils/redisutils/format.go) — here applied to corpus hygiene
+rather than Redis keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# language marker words (surrounded by spaces when matched) — a
+# classic stopword-profile n-gram heuristic; ties resolve by the
+# LANGS order. 'zh' is matched by CJK codepoints instead of words.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " is "],
+    "de": [" der ", " die ", " und ", " ist "],
+    "fr": [" le ", " la ", " et ", " est "],
+    "es": [" el ", " los ", " que ", " es "],
+}
+LANGS = list(LANG_MARKERS)
+
+_TOKEN_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+
+def _occurrences(padded: Column, marker: str) -> Column:
+    """#occurrences of `marker` = (len(s) - len(remove(s))) / len(m)."""
+    return (
+        F.length(padded) - F.length(F.replace(padded, F.lit(marker), F.lit("")))
+    ) / F.lit(len(marker))
+
+
+def lang_score(text: Column, lang: str) -> Column:
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    score = None
+    for m in LANG_MARKERS[lang]:
+        occ = _occurrences(padded, m)
+        score = occ if score is None else score + occ
+    return score.cast("double")
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax of the marker scores; 'und' (undetermined) when no
+    marker hits at all."""
+    scores = [(lang, lang_score(text, lang)) for lang in LANGS]
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    # reverse order => earlier langs win ties (en > de > fr > es)
+    for lang, s in reversed(scores):
+        expr = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, "\\s+"))
+    )
+
+
+def bpe_token_estimate(text: Column) -> Column:
+    """BPE-ish upper bound: words + digits + punctuation as separate
+    tokens (the pre-tokenizer split most BPE vocabularies start from).
+    """
+    return F.size(F.regexp_extract_all(text, F.lit(_TOKEN_RE), 0))
+
+
+def alpha_ratio(text: Column) -> Column:
+    n = F.length(text)
+    na = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(na / n).cast("double")
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    np_ = F.length(F.regexp_replace(text, "[^.,;:!?'\\\"()-]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(np_ / n).cast("double")
+
+
+def mean_word_len(text: Column) -> Column:
+    tc = token_count(text)
+    chars = F.length(F.regexp_replace(text, "\\s", ""))
+    return F.when(tc == 0, F.lit(0.0)).otherwise(chars / tc).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1]-ish quality: alphabetic mass, sane word length
+    (penalize <3 or >12 mean), low punctuation density, non-trivial
+    length. The exact blend is this engine's own (the reference has
+    no quality scoring); what matters is that it is deterministic,
+    cheap, and SQL-checkable."""
+    mwl = mean_word_len(text)
+    len_term = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
+    word_term = F.when((mwl >= 3.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(
+        F.lit(0.3)
+    )
+    return (
+        F.round(
+            0.4 * alpha_ratio(text)
+            + 0.2 * (1.0 - F.least(punct_ratio(text) * 5.0, F.lit(1.0)))
+            + 0.2 * word_term
+            + 0.2 * len_term,
+            6,
+        )
+    ).cast("double")
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 over the case/punctuation-normalized
+    text — the canonical near-exact-dup key (whitespace and casing
+    changes collapse)."""
+    return F.md5(F.regexp_replace(F.lower(text), "[^a-z0-9]", ""))

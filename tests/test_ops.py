@@ -1,0 +1,165 @@
+"""Pipeline-ops gates: dedup family, similarity search, text stats,
+multimodal plumbing — semantics checked against planted fixtures and
+numpy oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.ops import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog!"),   # exact dup of 0 (normalized)
+        (2, "The quick brown fox jumps over the lazy cat"),    # near dup
+        (3, "Completely different text about spark engines"),
+        (4, "Der schnelle braune Fuchs und die Katze ist hier"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    got = {r.doc_id: (r.keeper_id, r.is_dup) for r in dedup.exact_dedup(docs).collect()}
+    assert got[0] == (0, False)
+    assert got[1] == (0, True)   # normalization collapses case+punct
+    assert got[2] == (2, False)
+
+
+def test_ngram_jaccard_exact(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    d = {(r.doc_a, r.doc_b): r.jaccard for r in pairs}
+    assert (0, 1) in d and d[(0, 1)] > 0.9
+    assert (0, 2) in d and 0.5 <= d[(0, 2)] < 1.0
+    # oracle for one pair via python sets
+    def sh(t):
+        t = t.lower()
+        return {t[i:i + 3] for i in range(max(len(t) - 2, 1))}
+    a, b = sh("The quick brown fox jumps over the lazy dog"), sh(
+        "The quick brown fox jumps over the lazy cat")
+    want = round(len(a & b) / len(a | b), 6)
+    assert abs(d[(0, 2)] - want) < 1e-9
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r.doc_a, r.doc_b) for r in
+             dedup.lsh_candidate_pairs(docs, n_hashes=16, bands=8).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs
+    assert (0, 3) not in pairs
+
+
+def test_simhash_hamming(docs):
+    sh = {r.doc_id: r.simhash for r in dedup.simhash32(docs).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sh[0], sh[2]) < ham(sh[0], sh[3])
+    assert ham(sh[0], sh[1]) <= 4
+
+
+def test_textstats_basic(docs):
+    r = docs.filter("doc_id = 0").select(
+        textstats.token_count(F.col("text")).alias("tc"),
+        textstats.lang_id(F.col("text")).alias("lang"),
+        textstats.quality_score(F.col("text")).alias("q"),
+        textstats.fingerprint(F.col("text")).alias("fp"),
+    ).first()
+    assert r.tc == 9
+    assert r.lang == "en"
+    assert 0.0 <= r.q <= 1.0
+    de = docs.filter("doc_id = 4").select(
+        textstats.lang_id(F.col("text")).alias("lang")).first()
+    assert de.lang == "de"
+    empty = docs.filter("doc_id = 5").select(
+        textstats.token_count(F.col("text")).alias("tc")).first()
+    assert empty.tc == 0
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rs = np.random.RandomState(7)
+    # clustered embeddings (the realistic shape): 8 centers, 5 points
+    # each with small noise -> within-cluster cos ~0.9
+    centers = rs.randn(8, 16)
+    base = np.repeat(centers, 5, axis=0) + 0.25 * rs.randn(40, 16)
+    base = base.astype(np.float32)
+    base[1] = base[0] + 0.01 * rs.randn(16).astype(np.float32)  # near-dup of 0
+    pdf = pd.DataFrame(
+        {"vec_id": range(40), "embedding": [v.tolist() for v in base]}
+    )
+    return spark.createDataFrame(pdf), base
+
+
+def test_cosine_topk_matches_numpy(emb):
+    df, base = emb
+    got = similarity.cosine_topk(df, df.filter("vec_id < 3"), k=5).collect()
+    x = base / np.linalg.norm(base, axis=1, keepdims=True)
+    sims = x @ x.T
+    for q in range(3):
+        order = [
+            i for i in np.lexsort((np.arange(40), -np.round(sims[q], 6)))
+            if i != q
+        ][:5]
+        mine = [r.vec_id for r in sorted(
+            (r for r in got if r.query_id == q), key=lambda r: r.rn)]
+        assert mine == order, q
+
+
+def test_cosine_lsh_recall_and_near_dup(emb):
+    df, base = emb
+    exact = similarity.cosine_topk(df, df, k=3)
+    approx = similarity.cosine_topk_lsh(df, df, dim=16, k=3, n_bits=6)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall
+    dups = dedup.embedding_near_dup_pairs(df, threshold=0.99).collect()
+    assert any((r.id_a, r.id_b) == (0, 1) for r in dups)
+
+
+def test_ivf_topk_runs_and_overlaps(emb):
+    df, _ = emb
+    exact = {(r.query_id, r.vec_id) for r in
+             similarity.cosine_topk(df, df.filter("vec_id < 5"), k=3).collect()}
+    ivf = {(r.query_id, r.vec_id) for r in
+           similarity.ivf_topk(df, df.filter("vec_id < 5"),
+                               n_cells=8, nprobe=4, k=3).collect()}
+    assert len(exact & ivf) / len(exact) >= 0.5
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synth_media(spark, 60, seed=3)
+    assert media.count() == 60
+    feats = multimodal.extract_features(media, feat_dim=8)
+    rows = feats.collect()
+    assert len(rows) == 60
+    assert all(len(r.feature) == 8 for r in rows)
+    # deterministic across partitionings
+    media1 = multimodal.synth_media(spark, 60, seed=3, partitions=1)
+    f1 = {r.media_id: tuple(r.feature) for r in
+          multimodal.extract_features(media1).collect()}
+    f4 = {r.media_id: tuple(r.feature) for r in rows}
+    assert f1 == f4
+    # frame sampling plan bounded
+    frames = multimodal.frame_sample(media, every_ms=10000, max_frames=4)
+    per = frames.groupBy("media_id").count().agg(F.max("count")).first()[0]
+    assert per <= 4
+    # resize plan only for images, scale math sane
+    rp = multimodal.resize_plan(media, target=64).collect()
+    assert all(abs(r.scale_x - 64 / r.width) < 1e-6 for r in rp)
+
+
+def test_decoder_stub_raises(spark):
+    media = multimodal.synth_media(spark, 4, seed=3)
+    old = dict(multimodal.DECODERS)
+    try:
+        multimodal.DECODERS["image"] = multimodal._decode_unavailable
+        multimodal.DECODERS["audio"] = multimodal._decode_unavailable
+        multimodal.DECODERS["video"] = multimodal._decode_unavailable
+        with pytest.raises(Exception, match="NotImplementedError|codecs"):
+            multimodal.extract_features(media).collect()
+    finally:
+        multimodal.DECODERS.update(old)
