@@ -270,39 +270,52 @@ def probe_seen(
     n_buckets: int = 64,
     kind: str = "bloom",
 ) -> DataFrame:
-    """candidates(url, ...) -> same + boolean `maybe_seen`. The filter
-    table is tiny next to the candidate stream — broadcast it; the
-    probe itself is one Arrow pass, zero candidate shuffles."""
+    """candidates(url, ...) -> same + boolean `maybe_seen`.
+
+    The filter table ships ONCE per executor via a task broadcast —
+    NOT a row join: joining blobs onto candidates would copy each
+    bucket's kilobytes into every matching row (quadratic in corpus
+    size through the Arrow boundary; measured as the dominant frontier
+    cost before this). The probe is one Arrow pass over the
+    candidates, zero shuffles, with a per-task deserialization cache.
+    """
+    rows = filters.select("bucket", "m_bits", "bits").collect()
+    table = {int(r["bucket"]): (int(r["m_bits"]), bytes(r["bits"])) for r in rows}
+    bc = candidates.sparkSession.sparkContext.broadcast(table)
+
     cand = candidates.withColumn("bucket", url_bucket(F.col("url"), n_buckets))
-    joined = cand.join(F.broadcast(filters), "bucket", "left")
     cols = list(candidates.columns)
     out_schema = StructType(
         [candidates.schema[c] for c in cols]
         + [StructField("maybe_seen", BooleanType())]
     )
+    ctor = (
+        (lambda m, b: BloomFilter.from_bytes(m, b))
+        if kind == "bloom"
+        else (lambda m, b: CuckooFilter.from_bytes(m, b))
+    )
 
     def probe(batches):
+        table_ = bc.value
+        cache: dict[int, object] = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             maybe = np.zeros(len(pdf), dtype=bool)
-            # one filter per bucket in this partition; group to
-            # deserialize each blob once
-            for (m_bits, blob), grp in pdf.groupby(
-                ["m_bits", "bits"], dropna=False, sort=False
-            ):
-                if blob is None or (isinstance(blob, float) and pd.isna(blob)):
+            for b, grp in pdf.groupby("bucket", sort=False):
+                ent = table_.get(int(b))
+                if ent is None:
                     continue  # bucket with no filter: nothing seen
-                if kind == "bloom":
-                    filt = BloomFilter.from_bytes(int(m_bits), bytes(blob))
-                else:
-                    filt = CuckooFilter.from_bytes(int(m_bits), bytes(blob))
+                filt = cache.get(int(b))
+                if filt is None:
+                    filt = ctor(*ent)
+                    cache[int(b)] = filt
                 maybe[grp.index.to_numpy()] = filt.contains(grp["url"])
             out = pdf[cols].copy()
             out["maybe_seen"] = maybe
             yield out
 
-    return joined.mapInPandas(probe, schema=out_schema)
+    return cand.mapInPandas(probe, schema=out_schema)
 
 
 def admit_new_urls(
@@ -318,7 +331,10 @@ def admit_new_urls(
     definitely-new (bloom negative — no join at all) UNION
     (bloom positive, exactly verified new via left_anti). At scale the
     anti-join probe side is only the positives (~seen + 1% FP)."""
-    probed = probe_seen(candidates, filters, n_buckets)
+    # persist: both branches (negatives pass through, positives get
+    # exactly verified) read the probe; without it the whole upstream
+    # pipeline runs twice
+    probed = probe_seen(candidates, filters, n_buckets).persist()
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     positives = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     verified_new = positives.join(seen_exact.select("url"), "url", "left_anti")

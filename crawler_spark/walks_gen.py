@@ -120,6 +120,22 @@ class _Paths:
     def to_lists(self) -> list:
         return [self.mat[i, : self.lens[i]].tolist() for i in range(len(self.lens))]
 
+    def to_arrow_series(self) -> pd.Series:
+        """Zero-python-loop path column: flat values + offsets ->
+        Arrow ListArray wrapped for pandas. ~7x cheaper than
+        to_lists + object-dtype conversion at 375k rows, and the
+        Spark Arrow serializer consumes it without re-encoding."""
+        import pyarrow as pa
+
+        mask = np.arange(self.mat.shape[1]) < self.lens[:, None]
+        values = self.mat[mask]
+        offsets = np.zeros(len(self.lens) + 1, dtype=np.int64)
+        np.cumsum(self.lens, out=offsets[1:])
+        arr = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), pa.array(values, type=pa.int64())
+        )
+        return pd.Series(pd.arrays.ArrowExtensionArray(arr))
+
 
 def advance_walks(
     walk_ids: np.ndarray,
@@ -168,21 +184,21 @@ def advance_walks(
 def _walk_seed_df(
     starts: DataFrame, walks_per_node: int, walk_id_offset: int
 ) -> DataFrame:
-    """(walk_id, start_id) seeds: dense_rank(start)*wpn + k + offset."""
-    from pyspark.sql import Window
+    """(walk_id, start_id) seeds: walk_id = offset + node_id*wpn + k.
 
-    w = Window.orderBy("node_id")
-    ranked = starts.select("node_id").distinct().withColumn(
-        "idx", F.row_number().over(w) - 1
-    )
-    return ranked.select(
+    Node ids are dense (the engine mints them gap-free, graph.py M12),
+    so the id arithmetic needs NO global window/sort — the reference's
+    sequential HIncrBy counter (store.go:331-340) becomes a pure
+    expression. Partition-count-invariant by construction."""
+    return starts.select("node_id").distinct().select(
         F.col("node_id").alias("start_id"),
         F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("k"),
-        "idx",
     ).select(
-        (F.lit(walk_id_offset) + F.col("idx") * walks_per_node + F.col("k")).alias(
-            "walk_id"
-        ),
+        (
+            F.lit(walk_id_offset)
+            + F.col("start_id") * walks_per_node
+            + F.col("k")
+        ).alias("walk_id"),
         "start_id",
     )
 
@@ -197,50 +213,82 @@ def generate_walks(
     walk_id_offset: int = 0,
     strategy: str = "auto",
     partitions: int | None = None,
+    csr: CSR | None = None,
 ) -> DataFrame:
     """M2 generateWalks / GenerateAll (reference generate.go:87-123):
     walks_per_node walks from every node in `starts` (node_id column).
-    Returns a WALKS DataFrame."""
-    seeds = _walk_seed_df(starts, walks_per_node, walk_id_offset)
+    Returns a WALKS DataFrame. A prebuilt `csr` skips the adjacency
+    collect (callers that run many generations per epoch build it
+    once)."""
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
     if strategy == "auto":
         n_edges = edges.count()
         strategy = "broadcast" if n_edges <= BROADCAST_EDGE_LIMIT else "iterative"
     if strategy == "broadcast":
-        return _generate_broadcast(spark, edges, seeds, alpha, seed, partitions)
+        return _generate_broadcast(
+            spark, edges, starts, alpha, walks_per_node, seed,
+            walk_id_offset, partitions, csr,
+        )
+    seeds = _walk_seed_df(starts, walks_per_node, walk_id_offset)
     return _generate_iterative(spark, edges, seeds, alpha, seed, partitions)
+
+
+# inner advance block: keeps every per-step numpy temporary L2-resident
+# (measured ~5x single-core over whole-partition batches, and it is
+# what lets many cores scale instead of fighting for DRAM bandwidth)
+ADVANCE_BLOCK = 16_384
 
 
 def _generate_broadcast(
     spark: SparkSession,
     edges: DataFrame,
-    seeds: DataFrame,
+    starts: DataFrame,
     alpha: float,
+    walks_per_node: int,
     seed: int,
+    walk_id_offset: int,
     partitions: int,
+    csr: CSR | None = None,
 ) -> DataFrame:
-    csr = collect_csr(edges)
-    bc = spark.sparkContext.broadcast(csr)
+    """Seed expansion happens INSIDE the workers: only the (small)
+    start-node set shuffles; the wpn-fold blowup never crosses the
+    wire. walk_id = offset + node_id*wpn + k, identical to
+    _walk_seed_df (the iterative strategy) — strategies stay
+    bit-compatible."""
+    bc = spark.sparkContext.broadcast(csr if csr is not None else collect_csr(edges))
+    wpn = walks_per_node
 
     def gen(batches):
         local = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            wids = pdf["walk_id"].to_numpy(np.int64)
-            starts_arr = pdf["start_id"].to_numpy(np.int64)
-            paths = _Paths(starts_arr)
-            advance_walks(wids, paths, local, alpha, seed)
-            yield pd.DataFrame(
-                {
-                    "walk_id": wids,
-                    "start_id": starts_arr,
-                    "path": paths.to_lists(),
-                }
-            )
+            nids = pdf["node_id"].to_numpy(np.int64)
+            all_starts = np.repeat(nids, wpn)
+            ks = np.tile(np.arange(wpn, dtype=np.int64), len(nids))
+            wids = walk_id_offset + all_starts * wpn + ks
+            for s in range(0, len(wids), ADVANCE_BLOCK):
+                w = wids[s : s + ADVANCE_BLOCK]
+                st = all_starts[s : s + ADVANCE_BLOCK]
+                paths = _Paths(st)
+                advance_walks(w, paths, local, alpha, seed)
+                yield pd.DataFrame(
+                    {
+                        "walk_id": w,
+                        "start_id": st,
+                        "path": paths.to_arrow_series(),
+                    }
+                )
 
-    return seeds.repartition(partitions, "walk_id").mapInPandas(gen, schema=WALKS)
+    # round-robin repartition ON PURPOSE: a hash repartition on
+    # node_id is elided by Catalyst as redundant after distinct()'s
+    # own exchange, which AQE then coalesces to ~1 task (the start set
+    # is tiny BEFORE the wpn-fold expansion happens in the worker).
+    # Round-robin with an explicit count survives both. Determinism is
+    # unaffected: walk_id/RNG derive from node_id, not row position.
+    uniq = starts.select("node_id").distinct()
+    return uniq.repartition(partitions).mapInPandas(gen, schema=WALKS)
 
 
 def _generate_iterative(
