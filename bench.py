@@ -31,6 +31,17 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm the Python workers (numpy/pandas import, Arrow channel)
+    # outside the timings — a long-lived cluster pays this once
+    import pandas as pd
+
+    def _warm(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"id": pdf["id"]})
+
+    n_workers = int(cpus) * 4 if str(cpus).isdigit() else 128
+    spark.range(0, n_workers, 1, n_workers).mapInPandas(_warm, "id long").count()
+
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 

@@ -263,8 +263,10 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
+    # r = 4 rows/band: P(candidate) = 1-(1-J^4)^4 — steep enough that
+    # vocabulary-sharing docs don't flood the candidate set
     return dedup.lsh_candidate_pairs(
-        _t(spark, sf_dir, "documents"), n_hashes=8, bands=4
+        _t(spark, sf_dir, "documents"), n_hashes=16, bands=4
     )
 
 
@@ -397,8 +399,10 @@ def _lang_id_sql() -> str:
 
 def _minhash_sql(n_hashes: int, bands: int) -> str:
     r = n_hashes // bands
+    # mirror ops.dedup.minhash_signatures: 4 hash words per md5
     mins = ", ".join(
-        f"min(md5(shingle || '#{h}')) as mh{h}" for h in range(n_hashes)
+        f"min(substring(md5(shingle || '#{h // 4}'), {8 * (h % 4) + 1}, 8)) as mh{h}"
+        for h in range(n_hashes)
     )
     band_keys = ", ".join(
         "concat_ws('|', "
@@ -518,7 +522,7 @@ select doc_id, min(doc_id) over (partition by f) as keeper_id,
        doc_id != min(doc_id) over (partition by f) as is_dup
 from fp
 """,
-    "dedup_minhash_lsh": _minhash_sql(8, 4),
+    "dedup_minhash_lsh": _minhash_sql(16, 4),
     "dedup_ngram_jaccard": """
 with sh as (select doc_id, lower(text) lt from documents),
  shingles as (

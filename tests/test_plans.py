@@ -1,0 +1,67 @@
+"""Physical-plan quality gates (SCALE.md §8): filters/columns reach
+the parquet scan, aggregations combine map-side, the seen-set probe
+adds no exchange on the candidate stream, top-k is TakeOrdered (not a
+global sort), and broadcast joins are chosen where hinted."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark import graph, rank, seen, walks_gen
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_column_pushdown(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_shipdate") > "1996-01-01")
+        .select("l_orderkey", "l_quantity")
+    )
+    scan = [l for l in _plan(df).splitlines() if "FileScan" in l][0]
+    # filter reaches the scan
+    assert "l_shipdate" in scan and "DataFilters" in scan
+    # column pruning: only the 3 needed columns are read
+    assert "l_extendedprice" not in scan
+
+
+def test_visit_counts_partial_aggregation(spark):
+    walks = spark.createDataFrame(
+        [(0, 0, [0, 1]), (1, 1, [1, 2])],
+        "walk_id long, start_id long, path array<long>",
+    )
+    p = _plan(walks_gen.visit_counts(walks))
+    assert "partial_count" in p  # map-side combine before the shuffle
+
+
+def test_probe_path_has_no_candidate_exchange(spark):
+    cand = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.concat(F.lit("https://h"), (F.col("o_custkey") % 20).cast("string"),
+                 F.lit(".test/u"), F.col("o_custkey").cast("string")).alias("url")
+    )
+    seen_urls = cand.limit(100)
+    filters = seen.build_seen_filters(seen_urls, 8)
+    p = _plan(seen.probe_seen(cand, filters, 8))
+    # the filter table ships via task broadcast, not a join: the
+    # candidate stream flows scan -> project -> mapInPandas, 0 shuffles
+    assert p.count("Exchange") == 0
+
+
+def test_top_k_is_take_ordered(spark):
+    scores = spark.createDataFrame(
+        [(0, 0.5), (1, 0.3)], "node_id long, rank double"
+    )
+    assert "TakeOrderedAndProject" in _plan(rank.top_k(scores, 5))
+
+
+def test_delta_apply_broadcasts_removals(spark):
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    deltas = spark.createDataFrame(
+        [(0, [1], [], [2])],
+        "node_id long, removed array<long>, common array<long>, added array<long>",
+    )
+    p = _plan(graph.apply_deltas(edges, deltas))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
