@@ -1,0 +1,101 @@
+"""Structured Streaming form of the ingest path (SURVEY §2.9).
+
+The reference is event-at-a-time over bounded channels with load
+shedding (cmd/crawler.go:101-133); the engine's primary form is the
+deterministic epoch loop (engine.py). This module lifts the SAME
+operators onto Structured Streaming for deployments where pages land
+continuously:
+
+ - `stream_pages`: readStream over a pages directory (input_hint
+   schema), watermarked on `warc_ts`;
+ - `run_ingest_stream`: foreachBatch -> `CrawlEngine.process_pages`
+   + snapshot commit per micro-batch. foreachBatch is the right
+   bridge because the walk store is a batch-maintained table (the
+   incremental repair is already idempotent per batch: W1 keeps the
+   newest page per url, replays MERGE to the same state);
+ - `host_rate_metrics`: watermark + windowed aggregation (pages per
+   host per window) — the late-data-tolerant form of the reference's
+   1 s stats ticker (cmd/crawler.go:146-189).
+
+Late data: a page older than the watermark delay is dropped by the
+windowed metrics but still applied by the ingest path's W1 dedup
+(replace-by-newest per url — pkg/crawler/process.go:112-124 keeps
+newest regardless of arrival order), matching reference semantics.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import schemas
+from .engine import CrawlEngine
+from .functions.extract import url_host
+
+
+def stream_pages(
+    spark: SparkSession,
+    pages_dir: str,
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming source over a directory of pages parquet files."""
+    reader = spark.readStream.schema(schemas.PAGES)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(pages_dir).withWatermark("warc_ts", watermark)
+
+
+def host_rate_metrics(
+    pages: DataFrame, window: str = "1 minute"
+) -> DataFrame:
+    """Pages per host per event-time window (watermarked agg)."""
+    return (
+        pages.groupBy(
+            F.window("warc_ts", window).alias("w"),
+            url_host(F.col("url")).alias("host"),
+        )
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "host",
+            "n_pages",
+        )
+    )
+
+
+def run_ingest_stream(
+    engine: CrawlEngine,
+    pages_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+    now: _dt.datetime | None = None,
+    available_now: bool = True,
+):
+    """Micro-batched crawl ingest: every file batch of pages flows
+    through the full process pipeline (dedup -> extract -> admission
+    -> mint -> deltas -> walk repair) and commits a catalog snapshot.
+
+    With `available_now` the stream drains existing files and stops —
+    the testable/batch-drain form; without it, it runs continuously.
+    Returns the StreamingQuery."""
+    src = stream_pages(engine.spark, pages_dir, watermark)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        ts = now or _dt.datetime.now(_dt.timezone.utc)
+        engine.epoch += 1
+        stats = engine.process_pages(batch_df, ts)
+        stats["stream_batch_id"] = batch_id
+        engine._commit(ts, stats)
+
+    writer = (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
