@@ -41,6 +41,36 @@ from .schemas import DEFAULT_ALPHA
 from .walks_gen import CSR, collect_csr
 
 
+class _DrawBuf:
+    """Block-buffered counter-RNG: draw t is hash64(seed, source, t),
+    computed 2^16 draws at a time (the scalar-call path was the
+    stitcher's profile hotspot at ~55 us/draw)."""
+
+    BLOCK = 1 << 16
+
+    def __init__(self, seed: int, source: int):
+        self.seed = seed
+        self.source = source
+        self.blk = -1
+        self.buf: np.ndarray | None = None
+
+    def hash(self, t: int) -> int:
+        blk = t // self.BLOCK
+        if blk != self.blk:
+            lo = blk * self.BLOCK
+            self.buf = rng.hash64(
+                self.seed, self.source, np.arange(lo, lo + self.BLOCK)
+            )
+            self.blk = blk
+        return int(self.buf[t - blk * self.BLOCK])
+
+    def u01(self, t: int) -> float:
+        return (self.hash(t) >> 11) * (1.0 / float(1 << 53))
+
+    def randint(self, n: int, t: int) -> int:
+        return self.hash(t) % n
+
+
 def _stitch(
     source: int,
     target_length: int,
@@ -81,6 +111,7 @@ def _stitch(
     current_set = {source}
     cur = source
     t = 0  # rng draw counter
+    draws = _DrawBuf(seed, source)
 
     def reset():
         nonlocal n_out, current, current_set, cur
@@ -94,7 +125,7 @@ def _stitch(
         cur = source
 
     while n_out < target_length:
-        coin = float(rng.u01(seed, source, t)); t += 1
+        coin = draws.u01(t); t += 1
         if coin > alpha:
             reset()
             continue
@@ -106,7 +137,7 @@ def _stitch(
             if d == 0:
                 reset()
                 continue
-            idx = int(rng.randint(d, seed, source, t)); t += 1
+            idx = draws.randint(d, t); t += 1
             nxt = int(csr.targets[int(start[0]) + idx])
             if nxt in current_set:
                 reset()
