@@ -322,30 +322,52 @@ def _generate_iterative(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            n = len(pdf)
             wids = pdf["walk_id"].to_numpy(np.int64)
             paths = [np.asarray(p, dtype=np.int64) for p in pdf["path"]]
-            follows = pdf["follows"]
-            out_paths, alive_out = [], []
-            step_idx = np.fromiter((len(p) - 1 for p in paths), np.int64, len(paths))
-            coin = rng.u01(seed, wids, step_idx, 0)
-            for i in range(len(wids)):
-                p = paths[i]
-                if coin[i] > alpha:
-                    out_paths.append(p.tolist()); alive_out.append(False); continue
-                fl = follows.iloc[i]
-                if fl is None or len(fl) == 0:
-                    out_paths.append(p.tolist()); alive_out.append(False); continue
-                fl = np.asarray(fl, dtype=np.int64)
-                idx = int(rng.randint(len(fl), seed, wids[i], step_idx[i], 1))
-                nxt = int(fl[idx])
-                if (p == nxt).any():
-                    out_paths.append(p.tolist()); alive_out.append(False); continue
-                out_paths.append(np.append(p, nxt).tolist()); alive_out.append(True)
+            plens = np.fromiter((len(p) for p in paths), np.int64, n)
+            # ragged -> padded matrix (walks are short: ~1/(1-alpha))
+            width = int(plens.max())
+            mat = np.full((n, width), -1, dtype=np.int64)
+            for i, p in enumerate(paths):
+                mat[i, : len(p)] = p
+            degs = np.fromiter(
+                (0 if f is None else len(f) for f in pdf["follows"]),
+                np.int64,
+                n,
+            )
+            was_alive = pdf["alive"].to_numpy(dtype=bool)
+            coin = rng.u01(seed, wids, plens - 1, 0)
+            cont = was_alive & (coin <= alpha) & (degs > 0)
+            rows = np.where(cont)[0]
+            nxt = np.full(n, -1, dtype=np.int64)
+            if rows.size:
+                flat = np.concatenate(
+                    [np.asarray(pdf["follows"].iloc[i], dtype=np.int64)
+                     for i in rows]
+                )
+                offs = np.zeros(len(rows), dtype=np.int64)
+                np.cumsum(degs[rows], out=offs)  # ends; starts = ends - degs
+                starts_off = offs - degs[rows]
+                idx = rng.randint(degs[rows], seed, wids[rows], plens[rows] - 1, 1)
+                nxt[rows] = flat[starts_off + idx]
+            # cycle stop: padded -1 never matches a node id
+            cyc = (mat == nxt[:, None]).any(axis=1)
+            alive_out = cont & ~cyc
+            grow = np.where(alive_out)[0]
+            out_mat = np.concatenate(
+                [mat, np.full((n, 1), -1, dtype=np.int64)], axis=1
+            )
+            out_mat[grow, plens[grow]] = nxt[grow]
+            out_lens = plens + alive_out
+            p_out = _Paths.__new__(_Paths)
+            p_out.mat = out_mat
+            p_out.lens = out_lens
             yield pd.DataFrame(
                 {
                     "walk_id": wids,
                     "start_id": pdf["start_id"].to_numpy(np.int64),
-                    "path": out_paths,
+                    "path": p_out.to_arrow_series(),
                     "alive": alive_out,
                 }
             )
@@ -357,22 +379,24 @@ def _generate_iterative(
         F.lit(True).alias("alive"),
     ).repartition(partitions, "walk_id")
     finished_parts: list[DataFrame] = []
-    it = 0
     while True:
-        live = state.filter("alive")
-        joined = live.withColumn("head", F.element_at("path", -1)).join(
-            adj, "head", "left"
-        ).select("walk_id", "start_id", "path", "follows")
-        state = joined.mapInPandas(one_step, schema=state_schema)
-        state = state.localCheckpoint(eager=True) if it % checkpoint_every == 0 else state.persist()
+        # fuse `checkpoint_every` super-steps into ONE job: per-step
+        # driver actions (not compute) dominate the loop otherwise.
+        # Dead walks ride along for the block (one_step passes them
+        # through) and drop out at the block boundary.
+        for _ in range(checkpoint_every):
+            joined = state.withColumn("head", F.element_at("path", -1)).join(
+                adj, "head", "left"
+            ).select("walk_id", "start_id", "path", "follows", "alive")
+            state = joined.mapInPandas(one_step, schema=state_schema)
+        state = state.localCheckpoint(eager=True)
         n_alive = state.filter("alive").count()
-        finished_parts.append(state.filter(~F.col("alive")).select(
-            "walk_id", "start_id", "path"
-        ))
+        finished_parts.append(
+            state.filter(~F.col("alive")).select("walk_id", "start_id", "path")
+        )
         if n_alive == 0:
             break
         state = state.filter("alive")
-        it += 1
 
     out = finished_parts[0]
     for p in finished_parts[1:]:
