@@ -280,6 +280,12 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash32(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3
+    )
+
+
 def q_text_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     t = F.col("text")
@@ -296,6 +302,24 @@ def q_text_stats(spark, sf_dir):
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(emb, emb.filter("vec_id < 10"), k=10)
+
+
+def q_ann_cosine_topk_lsh(spark, sf_dir):
+    """Approximate ANN (sign-LSH buckets) — rows-only: the bucketing
+    is hash-defined, not SQL-expressible; recall vs the exact path is
+    gated in tests/test_ops.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_lsh(
+        emb, emb.filter("vec_id < 10"), dim=64, k=10, n_bits=6
+    )
+
+
+def q_ann_cosine_topk_ivf(spark, sf_dir):
+    """IVF-cell ANN — rows-only, same reasoning."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter("vec_id < 10"), n_cells=16, nprobe=4, k=10
+    )
 
 
 def q_embedding_near_dup(spark, sf_dir):
@@ -347,6 +371,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
+    "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
     "text_stats": q_text_stats,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
@@ -541,6 +568,37 @@ join sizes sa on sa.doc_id = doc_a
 join sizes sb on sb.doc_id = doc_b
 where inter / (sa.sz + sb.sz - inter * 1.0) >= 0.6
 """,
+    "dedup_simhash_pairs": (
+        """
+with toks as (
+  select doc_id, tok from (
+    select doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) as tok
+    from documents) where length(tok) > 0
+), h as (
+  select doc_id, ('0x' || substring(md5(tok), 1, 8))::bigint as hv from toks
+), bits as (
+  select doc_id, count(*) as n, """
+        + ", ".join(f"sum((hv >> {b}) % 2) as s{b}" for b in range(32))
+        + """
+  from h group by doc_id
+), sh as (
+  select doc_id, ("""
+        + " + ".join(
+            f"(case when s{b} * 2 >= n then 1 else 0 end)::bigint * {2**b}"
+            for b in range(32)
+        )
+        + """) as simhash from bits
+), bands as (
+  select doc_id, simhash, band, (simhash >> (8 * band)) % 256 as byte
+  from sh, unnest([0, 1, 2, 3]) as t(band)
+)
+select distinct a.doc_id as doc_a, b.doc_id as doc_b,
+       bit_count(xor(a.simhash, b.simhash)) as hamming
+from bands a join bands b on a.band = b.band and a.byte = b.byte
+where a.doc_id < b.doc_id
+  and bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+    ),
     "dedup_simhash": (
         """
 with toks as (

@@ -231,6 +231,56 @@ def simhash32(
     return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) for pairs within `max_hamming` bits of
+    32-bit SimHash, doc_a < doc_b.
+
+    Pigeonhole banding: split the signature into 4 bytes; any pair
+    within 3 bits must agree on >= 1 byte, so candidates come from 4
+    equi-joins on (band, byte) — never all-pairs — then exact hamming
+    via bit_count(xor)."""
+    sig = simhash32(docs, id_col, text_col)
+    bands = sig.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (F.shiftright("simhash", 8 * b) % 256).alias("byte"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", F.col("bk.band").alias("band"),
+             F.col("bk.byte").alias("byte"))
+    a = bands.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sa"),
+        "band", "byte",
+    )
+    b = bands.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sb"),
+        "band", "byte",
+    )
+    return (
+        a.join(b, ["band", "byte"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -60,6 +60,22 @@ def test_simhash_hamming(docs):
     assert ham(sh[0], sh[1]) <= 4
 
 
+def test_simhash_near_dup_pairs(docs):
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in
+             dedup.simhash_near_dup_pairs(docs, max_hamming=4).collect()}
+    assert (0, 1) in pairs  # near-identical docs within 4 bits
+    # oracle: banding must find every pair the brute hamming finds
+    sh = {r.doc_id: r.simhash for r in dedup.simhash32(docs).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    brute = {
+        (a, b): ham(sh[a], sh[b])
+        for a in sh for b in sh
+        if a < b and ham(sh[a], sh[b]) <= 3
+    }
+    got3 = {k: v for k, v in pairs.items() if v <= 3}
+    assert got3 == brute  # <=3 bits guarantees a shared byte band
+
+
 def test_textstats_basic(docs):
     r = docs.filter("doc_id = 0").select(
         textstats.token_count(F.col("text")).alias("tc"),
