@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from . import frontier as frontier_mod
 from . import graph, schemas, seen, walks_gen, walks_update
 from .catalog import Catalog
-from .functions.extract import extract_links, is_valid_url, url_host
+from .functions.extract import extract_links, is_valid_url
 
 TABLES = ("nodes", "edges", "walks", "frontier", "metrics")
 

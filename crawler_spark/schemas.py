@@ -15,7 +15,6 @@ from pyspark.sql.types import (
     ArrayType,
     BinaryType,
     DoubleType,
-    IntegerType,
     LongType,
     StringType,
     StructField,

@@ -7,7 +7,6 @@ checked the same way through the admission path."""
 import datetime as dt
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import functions as F
 
 from crawler_spark import frontier, schemas, seen

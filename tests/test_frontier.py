@@ -4,9 +4,7 @@ pkg/crawler/arbiter_test.go scenarios), and catalog snapshots."""
 
 import datetime as dt
 
-import numpy as np
 import pandas as pd
-import pytest
 from pyspark.sql import functions as F
 
 from crawler_spark import catalog, datagen, frontier, schemas, seen, walks_gen

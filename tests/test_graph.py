@@ -2,8 +2,6 @@
 mock database tests (pkg/database/mock/database_test.go)."""
 
 import pandas as pd
-from pyspark.sql import functions as F
-
 from crawler_spark import datagen, graph
 
 

@@ -3,7 +3,6 @@ the parquet scan, aggregations combine map-side, the seen-set probe
 adds no exchange on the candidate stream, top-k is TakeOrdered (not a
 global sort), and broadcast joins are chosen where hinted."""
 
-import pytest
 from pyspark.sql import functions as F
 
 from crawler_spark import graph, rank, seen, walks_gen

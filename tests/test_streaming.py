@@ -3,7 +3,6 @@ engine state as batch processing of the same pages, and the
 watermarked window metrics aggregate per host."""
 
 import datetime as dt
-import os
 
 from pyspark.sql import functions as F
 

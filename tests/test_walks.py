@@ -3,7 +3,6 @@
 5000 walks/node) plus structural invariants
 (pkg/walks/generate_test.go:19-73,317-348)."""
 
-import numpy as np
 import pytest
 from pyspark.sql import functions as F
 

@@ -6,7 +6,6 @@ invariant (pkg/walks/update_test.go:420-470): after updating every
 node to a second random graph, all walks are valid in the new graph.
 """
 
-import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
