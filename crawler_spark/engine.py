@@ -23,10 +23,13 @@ This is the Spark re-expression of the reference's four goroutines
          from the last committed epoch (north_rule).
 
 State tables (all catalog-committed): nodes, edges, walks, frontier,
-pages_seen? -> the seen set is `nodes` itself (a url is "seen" once
+filters. The exact seen set is `nodes` itself (a url is "seen" once
 it has a node id, exactly like the reference's keyIndex membership);
-bloom filters over it are rebuilt per epoch from the delta
-(cheap: one groupBy over NEW urls, merged bucket-wise).
+the bucketed bloom `filters` table is maintained INCREMENTALLY —
+only buckets that gained urls are rewritten per batch
+(seen.update_seen_filters), which is what makes the approximate layer
+affordable at a 10^10 frontier where a full rebuild would rescan
+everything every epoch.
 """
 
 from __future__ import annotations
@@ -72,6 +75,7 @@ class CrawlEngine:
         self.edges: DataFrame | None = None
         self.walks: DataFrame | None = None
         self.frontier: DataFrame | None = None
+        self.filters: DataFrame | None = None  # bucketed seen-set blooms
 
     # ---- lifecycle ----
 
@@ -95,6 +99,9 @@ class CrawlEngine:
         self.frontier = frontier_mod.enqueue(
             None, self.nodes.select("url", "node_id"), now
         )
+        self.filters = seen.build_seen_filters(
+            self.nodes.select("url"), n_buckets=self.n_buckets
+        )
         self.epoch = 0
         self._commit(now, {"event": "bootstrap", "seeds": len(seed_urls)})
 
@@ -105,6 +112,7 @@ class CrawlEngine:
         self.edges = self.cat.read(spark, "edges")
         self.walks = self.cat.read(spark, "walks")
         self.frontier = self.cat.read(spark, "frontier")
+        self.filters = self.cat.read(spark, "filters")
         self.epoch = self.cat.current("nodes").epoch
 
     def _commit(self, now: _dt.datetime, extra: dict | None = None) -> None:
@@ -116,6 +124,7 @@ class CrawlEngine:
             ("edges", self.edges),
             ("walks", self.walks),
             ("frontier", self.frontier),
+            ("filters", self.filters),
         ):
             snap = self.cat.write(name, df, epoch=self.epoch, metrics=m)
             # re-read from the committed snapshot: truncates lineage
@@ -178,15 +187,24 @@ class CrawlEngine:
             .select(F.col("link").alias("url"))
             .distinct()
         )
-        filters = seen.build_seen_filters(
-            self.nodes.select("url"), n_buckets=self.n_buckets
-        )
+        if self.filters is None:
+            self.filters = seen.build_seen_filters(
+                self.nodes.select("url"), n_buckets=self.n_buckets
+            )
         new_urls = seen.admit_new_urls(
-            candidates, filters, self.nodes.select("url"), self.n_buckets
+            candidates, self.filters, self.nodes.select("url"), self.n_buckets
         )
         minted = graph.mint_node_ids(self.nodes, new_urls, added_ts=now)
         n_new = minted.count()
         if n_new:
+            # incremental per-bucket filter maintenance: only buckets
+            # that gained urls are rewritten (seen.update_seen_filters)
+            self.filters = seen.update_seen_filters(
+                self.filters,
+                minted.select("url"),
+                self.nodes.select("url"),
+                self.n_buckets,
+            )
             self.nodes = self.nodes.unionByName(minted)
 
         # new follow lists (active authors only — the reference skips

@@ -339,3 +339,88 @@ def admit_new_urls(
     positives = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     verified_new = positives.join(seen_exact.select("url"), "url", "left_anti")
     return fresh.unionByName(verified_new)
+
+
+def update_seen_filters(
+    filters: DataFrame,
+    new_urls: DataFrame,
+    seen_exact: DataFrame,
+    n_buckets: int = 64,
+    bits_per_key: int = 10,
+) -> DataFrame:
+    """Incremental filter maintenance: only buckets that gained urls
+    are touched (the 10^10 form — a full rebuild scans the whole seen
+    set every epoch; this scans the delta plus resized buckets).
+
+    Per touched bucket: if the existing bitset still has capacity
+    (items stay within m_bits/bits_per_key), the new urls are OR-ed
+    into the blob (bloom insertion never invalidates membership);
+    otherwise the bucket is rebuilt at the right size from the exact
+    seen set restricted to that bucket. Untouched buckets pass
+    through byte-identical."""
+    spark = new_urls.sparkSession
+    adds = new_urls.select(
+        "url", url_bucket(F.col("url"), n_buckets).alias("bucket")
+    )
+    add_counts = {
+        int(r["bucket"]): int(r["n"])
+        for r in adds.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    if not add_counts:
+        return filters
+    existing = {
+        int(r["bucket"]): (int(r["n_items"]), int(r["m_bits"]))
+        for r in filters.select("bucket", "n_items", "m_bits").collect()
+    }
+    grow, rebuild = [], []
+    for b, n_new in add_counts.items():
+        n_items, m_bits = existing.get(b, (0, 0))
+        if m_bits and (n_items + n_new) * bits_per_key <= m_bits:
+            grow.append(b)
+        else:
+            rebuild.append(b)
+
+    parts = [filters.filter(~F.col("bucket").isin(list(add_counts)))]
+
+    if grow:
+        blob_map = {
+            int(r["bucket"]): (int(r["n_items"]), int(r["m_bits"]), bytes(r["bits"]))
+            for r in filters.filter(F.col("bucket").isin(grow)).collect()
+        }
+        bc = spark.sparkContext.broadcast(blob_map)
+
+        def grow_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            b = int(pdf["bucket"].iloc[0])
+            n_items, m_bits, blob = bc.value[b]
+            f = BloomFilter.from_bytes(m_bits, blob)
+            f.add(pdf["url"])
+            return pd.DataFrame(
+                {
+                    "bucket": [b],
+                    "n_items": [n_items + len(pdf)],
+                    "m_bits": [m_bits],
+                    "bits": [f.to_bytes()],
+                }
+            )
+
+        parts.append(
+            adds.filter(F.col("bucket").isin(grow))
+            .groupBy("bucket")
+            .applyInPandas(grow_fn, schema=FILTERS_SCHEMA)
+        )
+
+    if rebuild:
+        members = (
+            seen_exact.select("url")
+            .unionByName(new_urls.select("url"))
+            .distinct()
+            .withColumn("bucket", url_bucket(F.col("url"), n_buckets))
+            .filter(F.col("bucket").isin(rebuild))
+            .select("url")
+        )
+        parts.append(build_seen_filters(members, n_buckets, bits_per_key))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -229,3 +229,60 @@ def test_catalog_snapshot_commit_and_resume(spark, tmp_path):
     assert cat.current("t").version == 1
     # lineage recorded per file
     assert all("bytes" in f for f in s2.files)
+
+
+def test_incremental_filter_update(spark):
+    """update_seen_filters touches only buckets that gained urls:
+    membership stays exact-negative-free, untouched buckets are
+    byte-identical, and admission equals the exact anti-join."""
+    base = [f"https://inc{i % 13}.test/p{i}" for i in range(2000)]
+    delta = [f"https://inc{i % 13}.test/p{i}" for i in range(2000, 2600)]
+    base_df = spark.createDataFrame([(u,) for u in base], "url string")
+    delta_df = spark.createDataFrame([(u,) for u in delta], "url string")
+    f0 = seen.build_seen_filters(base_df, n_buckets=8).persist()
+    f1 = seen.update_seen_filters(f0, delta_df, base_df, n_buckets=8).persist()
+
+    all_df = base_df.unionByName(delta_df)
+    probed = seen.probe_seen(all_df, f1, 8)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0  # no false negatives
+
+    # untouched buckets byte-identical (delta hosts cover a subset)
+    touched = {
+        r.bucket for r in delta_df.select(
+            seen.url_bucket(F.col("url"), 8).alias("bucket")).distinct().collect()
+    }
+    b0 = {r.bucket: bytes(r.bits) for r in f0.collect()}
+    b1 = {r.bucket: bytes(r.bits) for r in f1.collect()}
+    for b in set(b0) - touched:
+        assert b0[b] == b1[b], b
+
+    # admission equality on a candidate mix
+    cands = spark.createDataFrame(
+        [(u,) for u in delta + [f"https://inc{i % 13}.test/q{i}" for i in range(500)]],
+        "url string",
+    )
+    admitted = {
+        r.url for r in seen.admit_new_urls(cands, f1, all_df, 8).collect()
+    }
+    oracle = {r.url for r in cands.join(all_df, "url", "left_anti").collect()}
+    assert admitted == oracle
+
+
+def test_incremental_filter_resize_path(spark):
+    """A delta that overflows a bucket's capacity triggers a rebuild
+    of just that bucket at the right size (still no false negatives)."""
+    base = [f"https://only0.test/p{i}" for i in range(100)]
+    delta = [f"https://only0.test/p{i}" for i in range(100, 2100)]  # 20x growth
+    base_df = spark.createDataFrame([(u,) for u in base], "url string")
+    delta_df = spark.createDataFrame([(u,) for u in delta], "url string")
+    f0 = seen.build_seen_filters(base_df, n_buckets=4)
+    f1 = seen.update_seen_filters(f0, delta_df, base_df, n_buckets=4)
+    all_df = base_df.unionByName(delta_df)
+    probed = seen.probe_seen(all_df, f1, 4)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+    # fp rate still sane after resize
+    fresh = spark.createDataFrame(
+        [(f"https://only0.test/x{i}",) for i in range(4000)], "url string"
+    )
+    fp = seen.probe_seen(fresh, f1, 4).filter(F.col("maybe_seen")).count() / 4000
+    assert fp < 0.05, fp
