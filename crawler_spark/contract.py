@@ -148,10 +148,16 @@ def q_a5_degrees(spark, sf_dir):
 
 
 def q_j2_adjacency_lists(spark, sf_dir):
-    """J2 bulk Follows as sorted adjacency arrays."""
-    return graph.adjacency_lists(_events_edges(spark, sf_dir)).select(
-        F.col("src").alias("node_id"), "follows"
-    )
+    """J2 bulk Follows (database.go:309-368) through the REAL
+    adjacency_lists operator (collect_list + sort_array), exploded to
+    (node_id, pos, follow) rows so the driver's order-insensitive
+    hash can canonicalize them (array cells are unhashable in its
+    pandas sort); pos asserts the per-node sort order."""
+    adj = graph.adjacency_lists(_events_edges(spark, sf_dir))
+    return adj.select(
+        F.col("src").alias("node_id"),
+        F.posexplode("follows").alias("pos", "follow"),
+    ).select("node_id", F.col("pos").cast("long").alias("pos"), "follow")
 
 
 def q_t3_delta_partition(spark, sf_dir):
@@ -491,7 +497,10 @@ from o full outer join i on o.node_id = i.node_id
 """,
     "j2_adjacency_lists": f"""
 with e as ({_EDGES_SQL})
-select src as node_id, list_sort(list(dst)) as follows from e group by src
+select src as node_id,
+       row_number() over (partition by src order by dst) - 1 as pos,
+       dst as follow
+from e
 """,
     "t3_delta_partition": f"""
 with old as (select distinct l_suppkey s, l_partkey p from lineitem

@@ -71,6 +71,10 @@ class CrawlEngine:
         self.promotion_wait_s = promotion_wait_s
         self.epoch = 0
         self.walks_changed = 0  # the walksTracker counter (process.go:118-123)
+        # |edges|, maintained incrementally from delta sizes so the
+        # broadcast-vs-iterative strategy choice never pays an
+        # edges.count() action inside the epoch loop
+        self.n_edges = 0
         self.nodes: DataFrame | None = None
         self.edges: DataFrame | None = None
         self.walks: DataFrame | None = None
@@ -78,6 +82,16 @@ class CrawlEngine:
         self.filters: DataFrame | None = None  # bucketed seen-set blooms
 
     # ---- lifecycle ----
+
+    @property
+    def walk_strategy(self) -> str:
+        """Broadcast-CSR vs iterative walk machinery, decided from the
+        incrementally-tracked edge count (no count() action)."""
+        return (
+            "broadcast"
+            if self.n_edges <= walks_gen.BROADCAST_EDGE_LIMIT
+            else "iterative"
+        )
 
     def bootstrap(self, seed_urls: list[str], now: _dt.datetime) -> None:
         """S9 cold start (cmd/crawler.go:52-66): seed urls become
@@ -88,6 +102,7 @@ class CrawlEngine:
             spark, seed_urls, status=schemas.STATUS_ACTIVE, added_ts=now
         )
         self.edges = spark.createDataFrame([], "src long, dst long")
+        self.n_edges = 0
         self.walks = walks_gen.generate_walks(
             spark,
             self.edges,
@@ -95,6 +110,7 @@ class CrawlEngine:
             alpha=self.alpha,
             walks_per_node=self.wpn,
             seed=self.seed,
+            strategy=self.walk_strategy,
         )
         self.frontier = frontier_mod.enqueue(
             None, self.nodes.select("url", "node_id"), now
@@ -114,6 +130,8 @@ class CrawlEngine:
         self.frontier = self.cat.read(spark, "frontier")
         self.filters = self.cat.read(spark, "filters")
         self.epoch = self.cat.current("nodes").epoch
+        # edge count from the manifest (metadata, no scan)
+        self.n_edges = self.cat.current("edges").n_rows
 
     def _commit(self, now: _dt.datetime, extra: dict | None = None) -> None:
         m = {"epoch": self.epoch, "walks_changed": self.walks_changed}
@@ -165,25 +183,34 @@ class CrawlEngine:
             .drop("_rn")
         )
 
-        # P5/P6: link extraction + validity
+        # P5/P6: link extraction + validity. The page row survives even
+        # when it has NO valid links — an emptied follow list must
+        # produce a full-removal delta (processFollowList applies
+        # Partition(old, nil); process.go:154-160), so the explode
+        # below is explode_outer, never a row-dropping explode.
         with_links = latest.select(
-            "url", extract_links("html", "url").alias("links")
+            "url",
+            F.filter(
+                extract_links("html", "url"), lambda c: is_valid_url(c)
+            ).alias("links"),
         )
-        links = with_links.select(
-            "url", F.explode("links").alias("link")
-        ).filter(is_valid_url(F.col("link")))
-
         # join to author node ids; only known nodes' pages are
         # processed (the admission gate S2 already let them in)
-        author = links.join(
+        pages_auth = with_links.join(
             self.nodes.select("url", "node_id", "status"), "url"
+        )
+        link_rows = pages_auth.select(
+            "node_id", "status", F.explode_outer("links").alias("link")
         )
 
         # discovery: unknown link targets get ids IF the author is
         # active (resolveIDs, process.go:186-206). Admission runs
         # through the bloom filters with exact verification.
         candidates = (
-            author.filter(F.col("status") == schemas.STATUS_ACTIVE)
+            link_rows.filter(
+                (F.col("status") == schemas.STATUS_ACTIVE)
+                & F.col("link").isNotNull()
+            )
             .select(F.col("link").alias("url"))
             .distinct()
         )
@@ -207,18 +234,34 @@ class CrawlEngine:
             )
             self.nodes = self.nodes.unionByName(minted)
 
-        # new follow lists (active authors only — the reference skips
-        # others' targets, so their lists would be partial)
+        # new follow lists for EVERY fetched author (active AND
+        # inactive — the reference applies inactive authors' deltas
+        # too, just without minting new targets; resolveIDs only adds
+        # nodes for active authors, process.go:186-206). Targets are
+        # whatever is known in `nodes` AFTER minting: for an active
+        # author that is the full list; for an inactive one the known
+        # subset (the reference's partial list); for a linkless page
+        # an EMPTY list -> full-removal delta.
+        targets = link_rows.join(
+            self.nodes.select(
+                F.col("url").alias("link"), F.col("node_id").alias("dst")
+            ),
+            "link",
+        )
         new_lists = (
-            author.filter(F.col("status") == schemas.STATUS_ACTIVE)
+            pages_auth.select("node_id")
+            .distinct()
             .join(
-                self.nodes.select(
-                    F.col("url").alias("link"), F.col("node_id").alias("dst")
+                targets.groupBy("node_id").agg(
+                    F.sort_array(F.collect_set("dst")).alias("new_follows")
                 ),
-                "link",
+                "node_id",
+                "left",
             )
-            .groupBy("node_id")
-            .agg(F.sort_array(F.collect_set("dst")).alias("new_follows"))
+            .withColumn(
+                "new_follows",
+                F.coalesce("new_follows", F.array().cast("array<long>")),
+            )
         )
         old_lists = (
             new_lists.select("node_id")
@@ -234,10 +277,18 @@ class CrawlEngine:
         deltas = graph.delta_partition(
             new_lists.join(old_lists, "node_id")
         ).filter((F.size("removed") > 0) | (F.size("added") > 0))
-        n_deltas = deltas.count()
+        # one action sizes the delta batch AND maintains the edge
+        # count (strategy choice) — no separate edges.count() ever
+        drow = deltas.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.size("added")), F.lit(0)).alias("na"),
+            F.coalesce(F.sum(F.size("removed")), F.lit(0)).alias("nr"),
+        ).first()
+        n_deltas = int(drow["n"])
 
         stats = {"pages": latest.count(), "new_nodes": n_new, "deltas": n_deltas}
         if n_deltas:
+            self.n_edges += int(drow["na"]) - int(drow["nr"])
             self.edges = graph.apply_deltas(self.edges, deltas)
             repaired = walks_update.update_walks(
                 spark,
@@ -247,6 +298,7 @@ class CrawlEngine:
                 alpha=self.alpha,
                 seed=self.seed,
                 epoch=self.epoch,
+                strategy=self.walk_strategy,
             )
             n_up = walks_update.updated_count(repaired)
             self.walks = walks_update.finish_update(repaired)
@@ -267,7 +319,7 @@ class CrawlEngine:
             walks_per_node=self.wpn,
             promotion_wait_s=self.promotion_wait_s,
         )
-        self.nodes, self.walks, promoted = frontier_mod.apply_arbiter(
+        self.nodes, self.walks, promoted, n_promoted = frontier_mod.apply_arbiter(
             self.spark,
             self.nodes,
             self.walks,
@@ -277,8 +329,8 @@ class CrawlEngine:
             alpha=self.alpha,
             walks_per_node=self.wpn,
             seed=self.seed,
+            strategy=self.walk_strategy,
         )
-        n_promoted = promoted.count()
         if n_promoted:
             self.frontier = frontier_mod.enqueue(
                 self.frontier, promoted.select("url", "node_id"), now

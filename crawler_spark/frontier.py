@@ -110,7 +110,9 @@ def schedule_batch(
     if robots is not None:
         r = F.broadcast(robots.select("host", "disallow_prefix", "crawl_delay_s"))
         queued = queued.join(r, "host", "left")
-        path = F.expr("substring(url, length(host) + 9)")  # after 'https://'+host
+        # path = url minus scheme+host; regexp (not a fixed offset) so
+        # http:// (7 chars) and https:// (8) both keep their leading '/'
+        path = F.regexp_replace("url", r"^https?://[^/]+", "")
         blocked_cond = (
             F.col("disallow_prefix").isNotNull()
             & path.startswith(F.col("disallow_prefix"))
@@ -221,21 +223,31 @@ def apply_arbiter(
     alpha: float = schemas.DEFAULT_ALPHA,
     walks_per_node: int = schemas.DEFAULT_WALKS_PER_NODE,
     seed: int = 42,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+    strategy: str = "auto",
+) -> tuple[DataFrame, DataFrame, DataFrame, int]:
     """Bulk PromoteNode/DemoteNode (arbiter.go:192-228): returns
-    (nodes', walks', promoted nodes). Promotion generates
+    (nodes', walks', promoted nodes, n_promoted). Promotion generates
     walks_per_node walks per promoted node in ONE job (vs the
     reference's per-node loop); demotion drops walks originating at
-    demoted nodes in one anti-join."""
+    demoted nodes in one anti-join.
+
+    ONE driver action sizes both branches (the former pair of
+    limit(1).count() probes plus the caller's promoted.count() were
+    three needless job launches per arbiter pass in the epoch loop)."""
     promoted = decisions.filter(F.col("decision") == "promote").select(
         "node_id", "url"
     )
     demoted = decisions.filter(F.col("decision") == "demote").select("node_id")
+    cnts = {
+        r["decision"]: int(r["n"])
+        for r in decisions.groupBy("decision").agg(F.count("*").alias("n")).collect()
+    }
+    n_promoted = cnts.get("promote", 0)
 
     new_walks = walks
-    if demoted.limit(1).count():
+    if cnts.get("demote", 0):
         new_walks = remove_walks_starting_at(new_walks, demoted)
-    if promoted.limit(1).count():
+    if n_promoted:
         gen = generate_walks(
             spark,
             edges,
@@ -244,6 +256,7 @@ def apply_arbiter(
             walks_per_node=walks_per_node,
             seed=seed,
             walk_id_offset=next_walk_id(walks),
+            strategy=strategy,
         )
         new_walks = new_walks.unionByName(gen)
 
@@ -270,7 +283,7 @@ def apply_arbiter(
         )
         .drop("decision")
     )
-    return new_nodes, new_walks, promoted
+    return new_nodes, new_walks, promoted, n_promoted
 
 
 def change_ratio(walks_changed: int, total_visits_: int, alpha: float) -> float:

@@ -333,12 +333,17 @@ def admit_new_urls(
     anti-join probe side is only the positives (~seen + 1% FP)."""
     # persist: both branches (negatives pass through, positives get
     # exactly verified) read the probe; without it the whole upstream
-    # pipeline runs twice
+    # pipeline runs twice. The admitted result is materialized eagerly
+    # (localCheckpoint) so the probe cache can be released HERE —
+    # persisted blocks otherwise accumulate across a long crawl (one
+    # leak per epoch). Checkpoint blocks are GC-managed; persist pins.
     probed = probe_seen(candidates, filters, n_buckets).persist()
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     positives = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     verified_new = positives.join(seen_exact.select("url"), "url", "left_anti")
-    return fresh.unionByName(verified_new)
+    out = fresh.unionByName(verified_new).localCheckpoint(eager=True)
+    probed.unpersist()
+    return out
 
 
 def update_seen_filters(

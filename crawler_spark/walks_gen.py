@@ -398,6 +398,10 @@ def _generate_iterative(
             break
         state = state.filter("alive")
 
+    # finished parts hang off localCheckpoints (lineage truncated), so
+    # the adjacency cache can be released now — repeated callers
+    # (walk repair per epoch) must not accumulate cached blocks
+    adj.unpersist()
     out = finished_parts[0]
     for p in finished_parts[1:]:
         out = out.unionByName(p)

