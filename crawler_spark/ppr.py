@@ -21,6 +21,19 @@ neighborhood, and the stitch runs vectorized in a single task (or on
 the driver). Many sources fan out with cogrouped applyInPandas, one
 group per source — embarrassingly parallel.
 
+The adjacency the stitcher sees is a BOUNDED-NEIGHBORHOOD CSR, never
+the full edge table: the reference's FollowCache loads only follows
+of nodes the walk actually visits (pkg/pagerank/cache.go:11-62 — DB
+fetch on miss); here the live-step fallback cannot fetch mid-task, so
+we pre-close the neighborhood: BFS over `edges` from
+{source} ∪ {sampled-walk nodes} until exhaustion or a node budget
+(PPR_NODE_BUDGET). Within the closure the walk behaves exactly as
+with the full graph (every node it can stand on has its full follow
+list); a walk crossing the budget boundary sees a dangling node and
+resets to the source — a documented divergence that only fires past
+the budget, vs. the old full-graph collect that OOMs the driver at
+10^10 edges.
+
 The RNG is counter-based: draw t of source s is u01(seed, s, t) —
 run-to-run and partitioning deterministic (the reference seeds
 math/rand with wall-clock time, pagerank.go:118, and gates only on
@@ -39,6 +52,49 @@ from . import rng
 from .rank import required_length, sample_walks_visiting, walks_needed
 from .schemas import DEFAULT_ALPHA
 from .walks_gen import CSR, collect_csr
+
+# BFS-closure cap for the stitcher's adjacency: ~2M nodes * avg degree
+# * 12B/edge stays comfortably inside one executor/driver. Beyond the
+# boundary a live walk dangles and resets (see module docstring).
+PPR_NODE_BUDGET = 2_000_000
+
+
+def _neighborhood_csr(
+    edges: DataFrame, roots: DataFrame, max_nodes: int = PPR_NODE_BUDGET
+) -> CSR:
+    """CSR of `edges` restricted to the BFS closure of `roots`
+    (node_id column) — the bounded-neighborhood contract of the
+    reference's FollowCache (pkg/pagerank/cache.go:11-62). Each hop is
+    one semi-join of the edge table against the (small, broadcast)
+    frontier; the edge table itself is never collected in full unless
+    the closure IS the graph."""
+    known = roots.select("node_id").distinct().localCheckpoint(eager=True)
+    frontier = known
+    n_known = known.count()
+    while n_known < max_nodes:
+        nxt = (
+            edges.join(
+                frontier.withColumnRenamed("node_id", "src").hint("broadcast"),
+                "src",
+                "left_semi",
+            )
+            .select(F.col("dst").alias("node_id"))
+            .distinct()
+            .join(known, "node_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        n_new = nxt.count()
+        if n_new == 0:
+            break
+        known = known.unionByName(nxt).localCheckpoint(eager=True)
+        n_known += n_new
+        frontier = nxt
+    sub = edges.join(
+        known.withColumnRenamed("node_id", "src").hint("broadcast"),
+        "src",
+        "left_semi",
+    )
+    return collect_csr(sub)
 
 
 class _DrawBuf:
@@ -174,13 +230,19 @@ def personalized_pagerank(
     alpha: float = DEFAULT_ALPHA,
     seed: int = 42,
     csr: CSR | None = None,
+    max_nodes: int = PPR_NODE_BUDGET,
 ) -> DataFrame:
     """Single-source personalized pagerank (pagerank.go:107-161).
 
     Returns (node_id, rank). A dangling source returns {source: 1.0}
-    (pagerank.go:138-141)."""
-    csr = csr if csr is not None else collect_csr(edges)
-    follows = [int(x) for x in csr.follows(node_id)]
+    (pagerank.go:138-141). The adjacency is the bounded-neighborhood
+    closure, not the full graph (a prebuilt `csr` skips that)."""
+    follows = sorted(
+        int(r["dst"])
+        for r in edges.filter(F.col("src") == int(node_id))
+        .select("dst")
+        .collect()
+    )
     if not follows:
         return spark.createDataFrame(
             [(int(node_id), 1.0)], "node_id long, rank double"
@@ -196,6 +258,16 @@ def personalized_pagerank(
     # deterministic cache order regardless of partitioning
     rows.sort(key=lambda r: r["walk_id"])
     cached = [[int(x) for x in r["path"]] for r in rows]
+    if csr is None:
+        # roots known driver-side already (cached walks + source +
+        # follows) — no extra job to assemble them
+        root_set = {int(node_id), *follows}
+        for w in cached:
+            root_set.update(w)
+        roots = spark.createDataFrame(
+            [(n,) for n in sorted(root_set)], "node_id long"
+        )
+        csr = _neighborhood_csr(edges, roots, max_nodes)
     all_walk = _stitch(int(node_id), target, alpha, seed, cached, csr)
     return spark.createDataFrame(
         _count_normalize(all_walk), "node_id long, rank double"
@@ -210,16 +282,16 @@ def personalized_pagerank_many(
     top_k: int = 200,
     alpha: float = DEFAULT_ALPHA,
     seed: int = 42,
+    max_nodes: int = PPR_NODE_BUDGET,
 ) -> DataFrame:
     """Many-source fan-out: one stitch task per source via grouped
     applyInPandas (SURVEY §2.8 M14 'many-source' path). Returns
     (source_id, node_id, rank).
 
     Each source's bounded walk sample is attached by a join from the
-    visits index; the adjacency CSR is broadcast once. Sources are
+    visits index; the shared bounded-neighborhood CSR (closure of all
+    sources' sampled walks) is broadcast once. Sources are
     independent — this scales linearly with executors."""
-    csr = collect_csr(edges)
-    bc = spark.sparkContext.broadcast(csr)
     target = required_length(top_k, alpha)
     limit = walks_needed(target, alpha)
 
@@ -243,7 +315,15 @@ def personalized_pagerank_many(
         members.join(visits, "member")
         .select("source_id", "walk_id", "path")
         .distinct()
+        .localCheckpoint(eager=True)  # read twice: roots + stitch
     )
+    roots = (
+        per_source_walks.select(F.explode("path").alias("node_id"))
+        .unionByName(sources.select("node_id"))
+        .distinct()
+    )
+    csr = _neighborhood_csr(edges, roots, max_nodes)
+    bc = spark.sparkContext.broadcast(csr)
 
     out_schema = "source_id long, node_id long, rank double"
 

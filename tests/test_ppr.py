@@ -63,6 +63,57 @@ def test_personalized_deterministic(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_neighborhood_csr_is_bounded(spark, monkeypatch):
+    """The stitcher's adjacency is the BFS closure of the sampled
+    neighborhood (FollowCache contract, pkg/pagerank/cache.go:11-62)
+    — never the full edge table: edges of a disconnected component
+    must not be collected, and the result must equal the full-CSR
+    run exactly (the closure is complete for the reachable part)."""
+    follows = {0: [1], 1: [2], 2: [0]}
+    for i in range(10, 20):
+        follows[i] = [10 + ((i - 9) % 10)]  # disconnected 10-cycle
+    edges = spark.createDataFrame(
+        [(s, d) for s, ds in follows.items() for d in ds], "src long, dst long"
+    )
+    starts = spark.createDataFrame([(i,) for i in (0, 1, 2)], "node_id long")
+    walks = walks_gen.generate_walks(
+        spark, edges, starts, walks_per_node=200, seed=5, strategy="broadcast"
+    ).localCheckpoint()
+
+    captured = {}
+    orig = ppr.collect_csr
+
+    def spy(df):
+        csr = orig(df)
+        captured["n_edges"] = len(csr.targets)
+        return csr
+
+    monkeypatch.setattr(ppr, "collect_csr", spy)
+    bounded = ppr.personalized_pagerank(spark, edges, walks, 0, top_k=20, seed=5)
+    got = sorted(map(tuple, bounded.collect()))
+    # only the 3 triangle edges were collected; the 10-cycle stayed out
+    assert captured["n_edges"] == 3
+    monkeypatch.undo()
+    full = ppr.personalized_pagerank(
+        spark, edges, walks, 0, top_k=20, seed=5,
+        csr=walks_gen.collect_csr(edges),
+    )
+    assert got == sorted(map(tuple, full.collect()))
+
+
+def test_neighborhood_budget_still_normalizes(spark):
+    """Past the node budget a live walk dangles and resets — the
+    distribution must still be a distribution (documented divergence,
+    fires only beyond the budget)."""
+    fx = datagen.FIXTURES["acyclic1"]
+    edges, _, walks = _setup(spark, fx, wpn=100)
+    scores = ppr.personalized_pagerank(
+        spark, edges, walks, 0, top_k=20, seed=3, max_nodes=1
+    )
+    total = scores.agg(F.sum("rank")).first()[0]
+    assert abs(total - 1.0) < 1e-9
+
+
 def test_many_source_close_to_single(spark):
     """The cogrouped fan-out must produce the same distributions the
     single-source path does (same stitcher, same rng keying), up to
