@@ -69,6 +69,16 @@ class Catalog:
             json.dump(snaps, f, indent=1)
         os.replace(tmp, p)  # atomic commit point
 
+    @staticmethod
+    def _ensure_readable(vdir: str, df: DataFrame) -> None:
+        """A partitioned write of an empty DataFrame emits no files
+        (dynamic partitioning) — land one schema-only file so the
+        snapshot stays loadable."""
+        for dirpath, _, names in os.walk(vdir):
+            if any(n.endswith(".parquet") for n in names):
+                return
+        df.limit(0).coalesce(1).write.mode("append").parquet(vdir)
+
     # ---- public API ----
     def tables(self) -> list[str]:
         return sorted(
@@ -103,6 +113,7 @@ class Catalog:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(vdir)
+        self._ensure_readable(vdir, df)
 
         files = []
         n_rows = 0
@@ -128,6 +139,90 @@ class Catalog:
             created_unix=time.time(),
             files=files,
             metrics=metrics or {},
+        )
+        snaps.append(snap.__dict__)
+        self._commit_manifest(table, snaps)
+        self._vacuum(table, snaps, keep_versions)
+        return snap
+
+    def write_partial(
+        self,
+        table: str,
+        df: DataFrame,
+        changed_buckets: list[int],
+        epoch: int = 0,
+        bucket_col: str = "bucket",
+        metrics: dict | None = None,
+        keep_versions: int = 3,
+    ) -> Snapshot:
+        """MERGE-shaped commit: write ONLY the listed bucket
+        partitions from `df`; every other bucket is HARDLINKED from
+        the previous snapshot (same inode — byte-identical by
+        construction, no read, no write). This is the Iceberg
+        overwrite-by-partition shape the engine's incremental
+        operators need: at a 10^12-row walk store a small delta
+        commits in O(|changed buckets|), not O(|store|).
+
+        The caller guarantees df's unchanged buckets are logically
+        identical to the previous snapshot (the engine's repair and
+        delta operators pass untouched rows through unmodified)."""
+        snaps = self._load_manifest(table)
+        if not snaps:
+            raise FileNotFoundError(
+                f"partial write of {table!r} needs a base snapshot"
+            )
+        prev_dir = snaps[-1]["path"]
+        version = snaps[-1]["version"] + 1
+        vdir = os.path.join(self.root, table, f"v{version:04d}")
+        changed = sorted(set(int(b) for b in changed_buckets))
+        if changed:
+            (
+                df.filter(df[bucket_col].isin(changed))
+                .write.mode("overwrite")
+                .partitionBy(bucket_col)
+                .parquet(vdir)
+            )
+        else:
+            os.makedirs(vdir, exist_ok=True)
+        changed_names = {f"{bucket_col}={b}" for b in changed}
+        for entry in os.listdir(prev_dir):
+            if (
+                entry.startswith(f"{bucket_col}=")
+                and entry not in changed_names
+            ):
+                src_dir = os.path.join(prev_dir, entry)
+                dst_dir = os.path.join(vdir, entry)
+                os.makedirs(dst_dir, exist_ok=True)
+                for fn in os.listdir(src_dir):
+                    if fn.endswith(".parquet"):
+                        os.link(
+                            os.path.join(src_dir, fn),
+                            os.path.join(dst_dir, fn),
+                        )
+        self._ensure_readable(vdir, df)
+
+        files = []
+        for dirpath, _, names in os.walk(vdir):
+            for name in names:
+                if name.endswith(".parquet"):
+                    full = os.path.join(dirpath, name)
+                    files.append(
+                        {
+                            "path": os.path.relpath(full, vdir),
+                            "bytes": os.path.getsize(full),
+                        }
+                    )
+        n_rows = df.sparkSession.read.parquet(vdir).count()
+        m = dict(metrics or {})
+        m["changed_buckets"] = changed
+        snap = Snapshot(
+            version=version,
+            path=vdir,
+            epoch=epoch,
+            n_rows=n_rows,
+            created_unix=time.time(),
+            files=files,
+            metrics=m,
         )
         snaps.append(snap.__dict__)
         self._commit_manifest(table, snaps)

@@ -75,6 +75,16 @@ class CrawlEngine:
         # broadcast-vs-iterative strategy choice never pays an
         # edges.count() action inside the epoch loop
         self.n_edges = 0
+        # bucket-level commit tracking: None => full snapshot rewrite
+        # (bootstrap / arbiter restructure); a set => only those
+        # buckets are written, the rest hardlink from the previous
+        # snapshot (catalog.write_partial). walks/edges bucket by
+        # pmod(xxhash64(key), n_table_buckets); filters already carry
+        # their host-hash bucket column.
+        self.n_table_buckets = 64
+        self._walks_dirty: set[int] | None = None
+        self._edges_dirty: set[int] | None = None
+        self._filters_dirty: set[int] | None = None
         self.nodes: DataFrame | None = None
         self.edges: DataFrame | None = None
         self.walks: DataFrame | None = None
@@ -121,22 +131,59 @@ class CrawlEngine:
         self.epoch = 0
         self._commit(now, {"event": "bootstrap", "seeds": len(seed_urls)})
 
+    def _load(self, name: str):
+        """Read a table's current snapshot, stripping/normalizing the
+        bucket partition column the bucketed tables carry on disk."""
+        df = self.cat.read(self.spark, name)
+        if name in ("walks", "edges") and "bucket" in df.columns:
+            df = df.drop("bucket")
+        if name == "filters":
+            # partition col comes back as int and reordered — restore
+            # the declared schema shape
+            df = df.select(
+                F.col("bucket").cast("long"), "n_items", "m_bits", "bits"
+            )
+        return df
+
     def resume(self) -> None:
         """Reload every table from its last committed snapshot."""
-        spark = self.spark
-        self.nodes = self.cat.read(spark, "nodes")
-        self.edges = self.cat.read(spark, "edges")
-        self.walks = self.cat.read(spark, "walks")
-        self.frontier = self.cat.read(spark, "frontier")
-        self.filters = self.cat.read(spark, "filters")
+        self.nodes = self._load("nodes")
+        self.edges = self._load("edges")
+        self.walks = self._load("walks")
+        self.frontier = self._load("frontier")
+        self.filters = self._load("filters")
         self.epoch = self.cat.current("nodes").epoch
         # edge count from the manifest (metadata, no scan)
         self.n_edges = self.cat.current("edges").n_rows
+        self._walks_dirty = set()
+        self._edges_dirty = set()
+        self._filters_dirty = set()
+
+    def _bucket_of(self, key_col: str):
+        return F.pmod(F.xxhash64(key_col), F.lit(self.n_table_buckets)).cast(
+            "int"
+        )
+
+    def _mark_dirty(self, attr: str, buckets) -> None:
+        cur = getattr(self, attr)
+        if cur is not None:  # None already means full rewrite
+            cur.update(int(b) for b in buckets)
 
     def _commit(self, now: _dt.datetime, extra: dict | None = None) -> None:
+        """Snapshot every table. walks/edges/filters commit at BUCKET
+        granularity: only buckets the epoch touched are written, the
+        rest hardlink from the previous version (the Iceberg
+        overwrite-by-partition shape) — at a 10^12-row walk store this
+        is the difference between committing the delta and rewriting
+        100 TB per epoch."""
         m = {"epoch": self.epoch, "walks_changed": self.walks_changed}
         if extra:
             m.update(extra)
+        bucketed = {
+            "walks": (self._bucket_of("walk_id"), self._walks_dirty),
+            "edges": (self._bucket_of("src"), self._edges_dirty),
+            "filters": (None, self._filters_dirty),
+        }
         for name, df in (
             ("nodes", self.nodes),
             ("edges", self.edges),
@@ -144,11 +191,27 @@ class CrawlEngine:
             ("frontier", self.frontier),
             ("filters", self.filters),
         ):
-            snap = self.cat.write(name, df, epoch=self.epoch, metrics=m)
+            if name in bucketed:
+                expr, dirty = bucketed[name]
+                dfb = df.withColumn("bucket", expr) if expr is not None else df
+                if dirty is None or self.cat.current(name) is None:
+                    snap = self.cat.write(
+                        name, dfb, epoch=self.epoch,
+                        partition_by=["bucket"], metrics=m,
+                    )
+                else:
+                    snap = self.cat.write_partial(
+                        name, dfb, sorted(dirty), epoch=self.epoch, metrics=m
+                    )
+            else:
+                snap = self.cat.write(name, df, epoch=self.epoch, metrics=m)
             # re-read from the committed snapshot: truncates lineage
             # (the iterative-Spark pitfall) and makes the in-memory
             # state exactly the on-disk state
-            setattr(self, name, self.spark.read.parquet(snap.path))
+            setattr(self, name, self._load(name))
+        self._walks_dirty = set()
+        self._edges_dirty = set()
+        self._filters_dirty = set()
 
     # ---- the epoch ----
 
@@ -218,6 +281,7 @@ class CrawlEngine:
             self.filters = seen.build_seen_filters(
                 self.nodes.select("url"), n_buckets=self.n_buckets
             )
+            self._filters_dirty = None  # fresh build -> full snapshot
         new_urls = seen.admit_new_urls(
             candidates, self.filters, self.nodes.select("url"), self.n_buckets
         )
@@ -226,12 +290,13 @@ class CrawlEngine:
         if n_new:
             # incremental per-bucket filter maintenance: only buckets
             # that gained urls are rewritten (seen.update_seen_filters)
-            self.filters = seen.update_seen_filters(
+            self.filters, touched = seen.update_seen_filters(
                 self.filters,
                 minted.select("url"),
                 self.nodes.select("url"),
                 self.n_buckets,
             )
+            self._mark_dirty("_filters_dirty", touched)
             self.nodes = self.nodes.unionByName(minted)
 
         # new follow lists for EVERY fetched author (active AND
@@ -289,6 +354,17 @@ class CrawlEngine:
         stats = {"pages": latest.count(), "new_nodes": n_new, "deltas": n_deltas}
         if n_deltas:
             self.n_edges += int(drow["na"]) - int(drow["nr"])
+            self._mark_dirty(
+                "_edges_dirty",
+                (
+                    r["b"]
+                    for r in deltas.select(
+                        self._bucket_of("node_id").alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                ),
+            )
             self.edges = graph.apply_deltas(self.edges, deltas)
             repaired = walks_update.update_walks(
                 spark,
@@ -300,7 +376,16 @@ class CrawlEngine:
                 epoch=self.epoch,
                 strategy=self.walk_strategy,
             )
-            n_up = walks_update.updated_count(repaired)
+            # one action: per-bucket updated counts feed BOTH the
+            # change counter and the walks partial-commit dirty set
+            up_rows = (
+                repaired.filter("updated")
+                .groupBy(self._bucket_of("walk_id").alias("b"))
+                .count()
+                .collect()
+            )
+            n_up = sum(int(r["count"]) for r in up_rows)
+            self._mark_dirty("_walks_dirty", (r["b"] for r in up_rows))
             self.walks = walks_update.finish_update(repaired)
             self.walks_changed += n_up
             stats["walks_updated"] = n_up
@@ -331,6 +416,10 @@ class CrawlEngine:
             seed=self.seed,
             strategy=self.walk_strategy,
         )
+        # promotions add walks / demotions drop them across arbitrary
+        # buckets — an arbiter restructure commits the walk store in
+        # full (rare: it is gated by the change-ratio trigger)
+        self._walks_dirty = None
         if n_promoted:
             self.frontier = frontier_mod.enqueue(
                 self.frontier, promoted.select("url", "node_id"), now

@@ -362,7 +362,10 @@ def update_seen_filters(
     into the blob (bloom insertion never invalidates membership);
     otherwise the bucket is rebuilt at the right size from the exact
     seen set restricted to that bucket. Untouched buckets pass
-    through byte-identical."""
+    through byte-identical.
+
+    Returns (filters', touched_buckets) — the touched set feeds the
+    catalog's bucket-level partial commit."""
     spark = new_urls.sparkSession
     adds = new_urls.select(
         "url", url_bucket(F.col("url"), n_buckets).alias("bucket")
@@ -372,7 +375,7 @@ def update_seen_filters(
         for r in adds.groupBy("bucket").agg(F.count("*").alias("n")).collect()
     }
     if not add_counts:
-        return filters
+        return filters, set()
     existing = {
         int(r["bucket"]): (int(r["n_items"]), int(r["m_bits"]))
         for r in filters.select("bucket", "n_items", "m_bits").collect()
@@ -428,4 +431,4 @@ def update_seen_filters(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    return out, set(add_counts)

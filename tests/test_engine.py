@@ -130,6 +130,59 @@ def test_empty_and_inactive_follow_lists(spark, tmp_path):
     ).count() == 0
 
 
+def test_bucketed_commits_record_partial_writes(spark, tmp_path):
+    """After bootstrap's full snapshot, a delta epoch (no arbiter
+    restructure) commits walks/edges/filters at BUCKET level: the
+    manifest records changed_buckets (a strict subset), untouched
+    bucket dirs hardlink the previous version byte-identically, and
+    the logical table round-trips."""
+    import os
+
+    eng = _mk(spark, tmp_path, "buckets")
+    eng.bootstrap([datagen.node_url(i) for i in (0, 1, 2)], NOW)
+    eng.epoch += 1
+    # delta touches nodes 0 and 1 only -> node 2's walks (and their
+    # buckets) stay untouched and must hardlink through the commit
+    s = eng.process_pages(
+        datagen.pages_df(spark, {0: [1, 2], 1: [2, 5]}), NOW
+    )
+    assert s["deltas"] == 2 and s["new_nodes"] == 1
+    eng._commit(NOW, s)
+
+    for table in ("walks", "edges", "filters"):
+        snaps = eng.cat.snapshots(table)
+        assert "changed_buckets" in snaps[-1].metrics, table
+    walks_snaps = eng.cat.snapshots("walks")
+    prev, last = walks_snaps[-2], walks_snaps[-1]
+    changed = {f"bucket={b}" for b in last.metrics["changed_buckets"]}
+    assert 0 < len(changed) < eng.n_table_buckets
+
+    def inodes(path, entry):
+        d = os.path.join(path, entry)
+        return {
+            os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    shared = 0
+    for entry in os.listdir(prev.path):
+        if entry.startswith("bucket=") and entry not in changed:
+            if os.path.isdir(os.path.join(last.path, entry)):
+                assert inodes(prev.path, entry) == inodes(last.path, entry)
+                shared += 1
+    assert shared > 0
+    # logical state survives the mixed full/partial commit chain
+    eng2 = _mk(spark, tmp_path, "buckets")
+    eng2.resume()
+    assert sorted(map(str, eng2.walks.collect())) == sorted(
+        map(str, eng.walks.collect())
+    )
+    assert sorted(map(str, eng2.edges.collect())) == sorted(
+        map(str, eng.edges.collect())
+    )
+
+
 def test_resume_from_checkpoint(spark, tmp_path):
     eng1, order1, _ = _run(spark, tmp_path, "resume", epochs=2)
     # a second engine resumes from the same catalog root

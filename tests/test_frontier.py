@@ -251,6 +251,42 @@ def test_catalog_snapshot_commit_and_resume(spark, tmp_path):
     assert all("bytes" in f for f in s2.files)
 
 
+def test_catalog_partial_commit_hardlinks_untouched_buckets(spark, tmp_path):
+    """write_partial: only the listed buckets are written; every other
+    bucket's files are HARDLINKS of the previous version (byte-
+    identical by inode), and the logical table equals the input."""
+    import os
+
+    cat = catalog.Catalog(str(tmp_path / "tables"))
+    df1 = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).cast("int").alias("bucket")
+    )
+    s1 = cat.write("t", df1, epoch=1, partition_by=["bucket"])
+    # change only bucket 3's rows
+    df2 = df1.withColumn(
+        "k",
+        F.when(F.col("bucket") == 3, F.col("k") + 10000).otherwise(F.col("k")),
+    )
+    s2 = cat.write_partial("t", df2, [3], epoch=2)
+    got = sorted(r.k for r in cat.read(spark, "t").collect())
+    want = sorted(r.k for r in df2.collect())
+    assert got == want
+    assert cat.current("t").metrics["changed_buckets"] == [3]
+    # inode identity for untouched buckets; bucket 3 rewritten
+    for b in range(7):
+        d1, d2 = (
+            os.path.join(s.path, f"bucket={b}") for s in (s1, s2)
+        )
+        ino1 = {os.stat(os.path.join(d1, f)).st_ino
+                for f in os.listdir(d1) if f.endswith(".parquet")}
+        ino2 = {os.stat(os.path.join(d2, f)).st_ino
+                for f in os.listdir(d2) if f.endswith(".parquet")}
+        if b == 3:
+            assert ino1.isdisjoint(ino2)
+        else:
+            assert ino1 == ino2, b
+
+
 def test_incremental_filter_update(spark):
     """update_seen_filters touches only buckets that gained urls:
     membership stays exact-negative-free, untouched buckets are
@@ -260,7 +296,8 @@ def test_incremental_filter_update(spark):
     base_df = spark.createDataFrame([(u,) for u in base], "url string")
     delta_df = spark.createDataFrame([(u,) for u in delta], "url string")
     f0 = seen.build_seen_filters(base_df, n_buckets=8).persist()
-    f1 = seen.update_seen_filters(f0, delta_df, base_df, n_buckets=8).persist()
+    f1, _ = seen.update_seen_filters(f0, delta_df, base_df, n_buckets=8)
+    f1 = f1.persist()
 
     all_df = base_df.unionByName(delta_df)
     probed = seen.probe_seen(all_df, f1, 8)
@@ -296,7 +333,7 @@ def test_incremental_filter_resize_path(spark):
     base_df = spark.createDataFrame([(u,) for u in base], "url string")
     delta_df = spark.createDataFrame([(u,) for u in delta], "url string")
     f0 = seen.build_seen_filters(base_df, n_buckets=4)
-    f1 = seen.update_seen_filters(f0, delta_df, base_df, n_buckets=4)
+    f1, _ = seen.update_seen_filters(f0, delta_df, base_df, n_buckets=4)
     all_df = base_df.unionByName(delta_df)
     probed = seen.probe_seen(all_df, f1, 4)
     assert probed.filter(~F.col("maybe_seen")).count() == 0
