@@ -313,6 +313,47 @@ def synth_pages(
     return base.mapInPandas(gen, schema=schemas.PAGES)
 
 
+def synth_edges(
+    spark: SparkSession,
+    n_nodes: int,
+    avg_degree: int = 10,
+    locality: float = 0.8,
+    host_block: int = 256,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Scale-out synthetic (src, dst) graph with WEB-SHAPED locality:
+    ids are host-clustered (each run of `host_block` consecutive ids
+    is one host, matching mint_node_ids' url-ordered minting), and a
+    `locality` fraction of each node's edges stay inside its host
+    block — the intra-host link mass real crawls exhibit, which the
+    bucketed walk strategy exploits. Counter-RNG deterministic and
+    generated with mapInPandas (each partition emits only its own id
+    range), so it scales to 10^8+ edges without touching the driver.
+    """
+    if partitions is None:
+        partitions = max(4, min(256, n_nodes // 20_000 + 1))
+
+    def gen(batches):
+        for pdf in batches:
+            src = pdf["id"].to_numpy(np.int64)
+            deg = rng.randint(avg_degree, seed, src, 31) + avg_degree // 2 + 1
+            reps = np.repeat(src, deg)
+            ends = np.cumsum(deg)
+            k = np.arange(int(ends[-1])) - np.repeat(ends - deg, deg)
+            local = rng.u01(seed, reps, k, 32) < locality
+            block0 = (reps // host_block) * host_block
+            dst_local = block0 + rng.randint(host_block, seed, reps, k, 33)
+            dst_global = rng.randint(n_nodes, seed, reps, k, 34)
+            dst = np.where(local, np.minimum(dst_local, n_nodes - 1), dst_global)
+            keep = dst != reps
+            out = pd.DataFrame({"src": reps[keep], "dst": dst[keep]})
+            yield out.drop_duplicates()
+
+    base = spark.range(0, n_nodes, 1, partitions)
+    return base.mapInPandas(gen, schema="src long, dst long")
+
+
 def robots_df(spark: SparkSession, n_hosts: int, seed: int = 42) -> DataFrame:
     """Synthetic robots rules: ~10% of hosts disallow /p7* prefixed
     paths; crawl delay drawn in [0.1, 2.1)s."""

@@ -145,12 +145,21 @@ def advance_walks(
     seed: int,
     alive: np.ndarray | None = None,
     max_steps: int | None = None,
+    pause_bucket: tuple | None = None,
+    paused_out: np.ndarray | None = None,
 ) -> np.ndarray:
     """Advance walks in place until stopped (or max_steps). Returns the
     final alive mask. One loop iteration = one walk step, fully
     vectorized over the batch; RNG draws are keyed (seed, walk_id,
     step, stream) with step = len(path)-1 at decision time, so the
-    result is independent of batching."""
+    result is independent of batching.
+
+    `pause_bucket = (bucket_fn, bucket_id)`: after a step lands on a
+    head whose bucket_fn(head) != bucket_id, the walk PAUSES — it
+    leaves the live loop (alive=False in the return) with
+    `paused_out` set True; the kernel owning the new bucket draws its
+    next coin at the same (seed, walk_id, step) key, so bucketed
+    execution stays bit-identical to the unbucketed strategies."""
     alive = np.ones(len(walk_ids), dtype=bool) if alive is None else alive.copy()
     steps = 0
     while alive.any() and (max_steps is None or steps < max_steps):
@@ -177,6 +186,13 @@ def advance_walks(
             rows, nxt = rows[~cyc], nxt[~cyc]
             if rows.size:
                 paths.append(rows, nxt)
+                if pause_bucket is not None:
+                    bucket_fn, bucket_id = pause_bucket
+                    moved = bucket_fn(nxt) != bucket_id
+                    if moved.any():
+                        mrows = rows[moved]
+                        alive[mrows] = False
+                        paused_out[mrows] = True
         steps += 1
     return alive
 
@@ -231,6 +247,10 @@ def generate_walks(
             walk_id_offset, partitions, csr,
         )
     seeds = _walk_seed_df(starts, walks_per_node, walk_id_offset)
+    if strategy == "bucketed":
+        return _generate_bucketed(
+            spark, edges, seeds, alpha, seed, partitions
+        )
     return _generate_iterative(spark, edges, seeds, alpha, seed, partitions)
 
 
@@ -402,6 +422,154 @@ def _generate_iterative(
     # the adjacency cache can be released now — repeated callers
     # (walk repair per epoch) must not accumulate cached blocks
     adj.unpersist()
+    out = finished_parts[0]
+    for p in finished_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _generate_bucketed(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: DataFrame,
+    alpha: float,
+    seed: int,
+    partitions: int,
+    n_nodes: int | None = None,
+    n_buckets: int | None = None,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Host-locality co-partitioned strategy — the 10^10-edge path
+    with MANY walk steps per shuffle.
+
+    Node ids are minted in url order (graph.mint_node_ids), so
+    consecutive id ranges are host-clustered; bucket(id) =
+    (id * B) div N keeps a host's nodes (and, on the web, most of its
+    links' endpoints) in ONE bucket. Adjacency shards and walk heads
+    cogroup on that bucket, and the Arrow kernel advances every walk
+    until it halts or FOLLOWS AN INTER-HOST LINK out of the shard —
+    so steps-per-shuffle is the mean intra-host run length (~1/(1-
+    locality)) instead of the 1 step per join of the plain iterative
+    strategy. RNG keys are unchanged (seed, walk_id, step), so the
+    walks are bit-identical to broadcast/iterative.
+    """
+    if n_nodes is None:
+        row = edges.agg(
+            F.greatest(F.max("src"), F.max("dst")).alias("m")
+        ).first()
+        seeds_max = seeds.agg(F.max("start_id")).first()[0]
+        n_nodes = int(max(row["m"] or 0, seeds_max or 0)) + 1
+    B = n_buckets if n_buckets is not None else max(partitions * 4, 16)
+    n_cap = max(n_nodes, 1)
+
+    def np_bucket(ids: np.ndarray) -> np.ndarray:
+        return (ids * B) // n_cap
+
+    def col_bucket(c):
+        return F.expr(f"cast(({c} * {B}) div {n_cap} as int)")
+
+    from .graph import adjacency_lists
+    from pyspark.sql.types import (
+        ArrayType, BooleanType, IntegerType, LongType, StructField, StructType,
+    )
+
+    adj_b = (
+        adjacency_lists(edges)
+        .withColumn("bucket", col_bucket("src"))
+        .repartition(partitions, "bucket")
+        .persist()
+    )
+    state_schema = StructType(
+        [
+            StructField("walk_id", LongType()),
+            StructField("start_id", LongType()),
+            StructField("path", ArrayType(LongType())),
+            StructField("alive", BooleanType()),
+            StructField("bucket", IntegerType()),
+        ]
+    )
+
+    def one_block(key, state_pdf, adj_pdf):
+        if len(state_pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "walk_id": pd.Series([], dtype=np.int64),
+                    "start_id": pd.Series([], dtype=np.int64),
+                    "path": pd.Series([], dtype=object),
+                    "alive": pd.Series([], dtype=bool),
+                    "bucket": pd.Series([], dtype=np.int32),
+                }
+            )
+        bucket = int(key[0])
+        heads = adj_pdf["src"].to_numpy(np.int64)
+        if len(heads):
+            lens = np.fromiter(
+                (len(f) for f in adj_pdf["follows"]), np.int64, len(heads)
+            )
+            flat = (
+                np.concatenate(
+                    [np.asarray(f, dtype=np.int64) for f in adj_pdf["follows"]]
+                )
+                if lens.sum()
+                else np.asarray([], dtype=np.int64)
+            )
+            csr = CSR.from_pairs(np.repeat(heads, lens), flat)
+        else:
+            csr = CSR(
+                np.asarray([], np.int64),
+                np.asarray([0], np.int64),
+                np.asarray([], np.int64),
+            )
+        wids = state_pdf["walk_id"].to_numpy(np.int64)
+        paths = _Paths.from_lists(
+            [np.asarray(p, dtype=np.int64) for p in state_pdf["path"]]
+        )
+        # already-halted rows ride the fused chain untouched
+        was_alive = state_pdf["alive"].to_numpy(dtype=bool)
+        paused = np.zeros(len(wids), dtype=bool)
+        advance_walks(
+            wids, paths, csr, alpha, seed, alive=was_alive,
+            pause_bucket=(np_bucket, bucket), paused_out=paused,
+        )
+        new_heads = paths.mat[np.arange(len(wids)), paths.lens - 1]
+        out_bucket = np.where(paused, np_bucket(new_heads), bucket).astype(
+            np.int32
+        )
+        return pd.DataFrame(
+            {
+                "walk_id": wids,
+                "start_id": state_pdf["start_id"].to_numpy(np.int64),
+                "path": paths.to_arrow_series(),
+                "alive": paused,  # in-bucket walks ran to completion
+                "bucket": out_bucket,
+            }
+        )
+
+    state = seeds.select(
+        "walk_id",
+        "start_id",
+        F.array("start_id").cast("array<long>").alias("path"),
+        F.lit(True).alias("alive"),
+        col_bucket("start_id").alias("bucket"),
+    )
+    finished_parts: list[DataFrame] = []
+    while True:
+        for _ in range(checkpoint_every):
+            state = (
+                state.groupBy("bucket")
+                .cogroup(adj_b.groupBy("bucket"))
+                .applyInPandas(one_block, schema=state_schema)
+            )
+        state = state.localCheckpoint(eager=True)
+        n_alive = state.filter("alive").count()
+        finished_parts.append(
+            state.filter(~F.col("alive")).select("walk_id", "start_id", "path")
+        )
+        if n_alive == 0:
+            break
+        state = state.filter("alive")
+
+    adj_b.unpersist()
     out = finished_parts[0]
     for p in finished_parts[1:]:
         out = out.unionByName(p)

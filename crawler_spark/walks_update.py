@@ -355,7 +355,11 @@ def update_walks(
         )
 
     if added_map:
-        grafts = _graft_assignments(walks, added_map, seed, epoch, visits=visits)
+        # materialize the (small) sample once: the affected/untouched
+        # branches below would otherwise recompute its explode+window
+        grafts = _graft_assignments(
+            walks, added_map, seed, epoch, visits=visits
+        ).localCheckpoint(eager=True)
         state = walks.join(grafts.hint("broadcast"), "walk_id", "left")
     else:
         state = walks.withColumn("graft_node", F.lit(None).cast("long"))

@@ -43,15 +43,31 @@ def test_static_global_pagerank(spark, name):
 def test_strategies_produce_identical_walks(spark):
     fx = datagen.FIXTURES["acyclic1"]
     kw = dict(walks_per_node=40, seed=7)
-    wb = walks_gen.generate_walks(
-        spark, _edges_df(spark, fx), _starts_df(spark, fx), strategy="broadcast", **kw
-    )
-    wi = walks_gen.generate_walks(
-        spark, _edges_df(spark, fx), _starts_df(spark, fx), strategy="iterative", **kw
-    )
+    runs = []
+    for strategy in ("broadcast", "iterative", "bucketed"):
+        w = walks_gen.generate_walks(
+            spark, _edges_df(spark, fx), _starts_df(spark, fx),
+            strategy=strategy, **kw,
+        )
+        runs.append(sorted((r["walk_id"], tuple(r["path"])) for r in w.collect()))
+    assert runs[0] == runs[1] == runs[2]
+
+
+def test_bucketed_strategy_on_host_local_graph(spark):
+    """The host-locality co-partitioned strategy must stay
+    bit-identical to broadcast on a web-shaped graph (synth_edges:
+    host-clustered ids, 80% intra-host links) — the graph family the
+    bucketed path exists for."""
+    edges = datagen.synth_edges(
+        spark, 3000, avg_degree=6, locality=0.8, host_block=64, seed=4
+    ).localCheckpoint()
+    starts = spark.range(0, 3000).select(F.col("id").alias("node_id"))
+    kw = dict(walks_per_node=3, seed=4, partitions=8)
+    wb = walks_gen.generate_walks(spark, edges, starts, strategy="broadcast", **kw)
+    wk = walks_gen.generate_walks(spark, edges, starts, strategy="bucketed", **kw)
     a = sorted((r["walk_id"], tuple(r["path"])) for r in wb.collect())
-    b = sorted((r["walk_id"], tuple(r["path"])) for r in wi.collect())
-    assert a == b
+    b = sorted((r["walk_id"], tuple(r["path"])) for r in wk.collect())
+    assert a == b and len(a) == 9000
 
 
 def test_walks_reproducible_across_partitionings(spark):
