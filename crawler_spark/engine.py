@@ -160,9 +160,14 @@ class CrawlEngine:
         self._filters_dirty = set()
 
     def _bucket_of(self, key_col: str):
-        return F.pmod(F.xxhash64(key_col), F.lit(self.n_table_buckets)).cast(
-            "int"
-        )
+        # cast to long BEFORE hashing: xxhash64(int32) != xxhash64(
+        # int64) for the same value, and bucket agreement between the
+        # delta/dirty side and the table side is what partial commits
+        # stand on
+        return F.pmod(
+            F.xxhash64(F.col(key_col).cast("long")),
+            F.lit(self.n_table_buckets),
+        ).cast("int")
 
     def _mark_dirty(self, attr: str, buckets) -> None:
         cur = getattr(self, attr)
@@ -282,8 +287,20 @@ class CrawlEngine:
                 self.nodes.select("url"), n_buckets=self.n_buckets
             )
             self._filters_dirty = None  # fresh build -> full snapshot
+        # when the in-memory filters match the committed snapshot
+        # (the normal start-of-epoch state), probe EXECUTOR-SIDE from
+        # the snapshot's bucket partitions — the driver never holds
+        # the blob set (12.5 GB at a 10^10-URL frontier)
+        fpath = None
+        if self._filters_dirty is not None and not self._filters_dirty:
+            cur = self.cat.current("filters")
+            fpath = cur.path if cur else None
         new_urls = seen.admit_new_urls(
-            candidates, self.filters, self.nodes.select("url"), self.n_buckets
+            candidates,
+            self.filters,
+            self.nodes.select("url"),
+            self.n_buckets,
+            filters_path=fpath,
         )
         minted = graph.mint_node_ids(self.nodes, new_urls, added_ts=now)
         n_new = minted.count()

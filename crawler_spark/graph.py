@@ -45,7 +45,10 @@ def mint_node_ids(
     w = Window.orderBy("url")
     ts = F.lit(added_ts).cast("timestamp") if added_ts else F.current_timestamp()
     return cand.select(
-        (F.lit(max_id) + F.row_number().over(w) - 1).alias("node_id"),
+        # cast: row_number yields INT; ids must be LONG everywhere
+        # (xxhash64 hashes int32 and int64 differently — a mixed-width
+        # id column silently breaks hash-bucket agreement)
+        (F.lit(max_id) + F.row_number().over(w) - 1).cast("long").alias("node_id"),
         "url",
         F.lit(status).alias("status"),
         ts.alias("added_ts"),

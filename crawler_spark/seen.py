@@ -264,25 +264,76 @@ def build_seen_filters(
     return with_bucket.groupBy("bucket").applyInPandas(build, schema=FILTERS_SCHEMA)
 
 
+# per-worker-process cache of filter blobs, keyed (snapshot_path,
+# bucket) — survives across tasks/batches within a python worker, so
+# each executor reads each bucket's blob at most once per snapshot
+_WORKER_FILTER_CACHE: dict[tuple[str, int], tuple[int, bytes] | None] = {}
+
+
+def _read_filter_bucket(path: str, bucket: int):
+    """Executor-side blob fetch: read ONLY bucket=<b>'s partition of a
+    committed filters snapshot with pyarrow (partition pruning by
+    directory). Returns (m_bits, bits) or None when the bucket has no
+    filter. Cached per worker process."""
+    key = (path, bucket)
+    if key in _WORKER_FILTER_CACHE:
+        return _WORKER_FILTER_CACHE[key]
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    ent = None
+    bdir = _os.path.join(path, f"bucket={bucket}")
+    files = sorted(_glob.glob(_os.path.join(bdir, "*.parquet")))
+    if not files:
+        # unpartitioned snapshot (bootstrap full write without
+        # partition dirs): scan the flat files for the bucket row
+        for f in sorted(_glob.glob(_os.path.join(path, "*.parquet"))):
+            t = _pq.read_table(f, columns=["bucket", "m_bits", "bits"])
+            d = t.to_pydict()
+            for bk, m, blob in zip(d["bucket"], d["m_bits"], d["bits"]):
+                if int(bk) == bucket:
+                    ent = (int(m), bytes(blob))
+                    break
+            if ent:
+                break
+    else:
+        for f in files:
+            t = _pq.read_table(f, columns=["m_bits", "bits"])
+            if t.num_rows:
+                d = t.to_pydict()
+                ent = (int(d["m_bits"][0]), bytes(d["bits"][0]))
+                break
+    _WORKER_FILTER_CACHE[key] = ent
+    return ent
+
+
 def probe_seen(
     candidates: DataFrame,
     filters: DataFrame,
     n_buckets: int = 64,
     kind: str = "bloom",
+    filters_path: str | None = None,
 ) -> DataFrame:
     """candidates(url, ...) -> same + boolean `maybe_seen`.
 
-    The filter table ships ONCE per executor via a task broadcast —
-    NOT a row join: joining blobs onto candidates would copy each
-    bucket's kilobytes into every matching row (quadratic in corpus
-    size through the Arrow boundary; measured as the dominant frontier
-    cost before this). The probe is one Arrow pass over the
-    candidates, zero shuffles, with a per-task deserialization cache.
-    """
-    rows = filters.select("bucket", "m_bits", "bits").collect()
-    table = {int(r["bucket"]): (int(r["m_bits"]), bytes(r["bits"])) for r in rows}
-    bc = candidates.sparkSession.sparkContext.broadcast(table)
+    Blob delivery, two modes — NEVER a row join (joining blobs onto
+    candidates copies each bucket's kilobytes into every matching row,
+    quadratic bytes through Arrow; measured dominant before this):
 
+     - default: collect blobs to the driver, ship ONCE per executor
+       via a task broadcast. Right up to ~GB of filter.
+     - `filters_path` (a committed snapshot directory): EXECUTOR-SIDE
+       assembly — each python worker pyarrow-reads only the bucket
+       partitions its candidate rows hash to, cached per (path,
+       bucket) across tasks. No driver round-trip at all: at the
+       10^10-URL design point (~12.5 GB of blooms) the driver never
+       holds the filter set, and each executor pulls only its share.
+
+    Either way the probe is one Arrow pass over the candidates, zero
+    shuffles, with a per-task deserialization cache.
+    """
     cand = candidates.withColumn("bucket", url_bucket(F.col("url"), n_buckets))
     cols = list(candidates.columns)
     out_schema = StructType(
@@ -295,19 +346,35 @@ def probe_seen(
         else (lambda m, b: CuckooFilter.from_bytes(m, b))
     )
 
+    if filters_path is None:
+        rows = filters.select("bucket", "m_bits", "bits").collect()
+        table = {
+            int(r["bucket"]): (int(r["m_bits"]), bytes(r["bits"])) for r in rows
+        }
+        bc = candidates.sparkSession.sparkContext.broadcast(table)
+
+        def lookup_factory():
+            table_ = bc.value
+            return table_.get
+    else:
+        path = filters_path
+
+        def lookup_factory():
+            return lambda b: _read_filter_bucket(path, b)
+
     def probe(batches):
-        table_ = bc.value
+        lookup = lookup_factory()
         cache: dict[int, object] = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             maybe = np.zeros(len(pdf), dtype=bool)
             for b, grp in pdf.groupby("bucket", sort=False):
-                ent = table_.get(int(b))
-                if ent is None:
-                    continue  # bucket with no filter: nothing seen
                 filt = cache.get(int(b))
                 if filt is None:
+                    ent = lookup(int(b))
+                    if ent is None:
+                        continue  # bucket with no filter: nothing seen
                     filt = ctor(*ent)
                     cache[int(b)] = filt
                 maybe[grp.index.to_numpy()] = filt.contains(grp["url"])
@@ -323,6 +390,7 @@ def admit_new_urls(
     filters: DataFrame,
     seen_exact: DataFrame,
     n_buckets: int = 64,
+    filters_path: str | None = None,
 ) -> DataFrame:
     """The admission gate (S2/J3, crawler.go:94-102 inverted: we keep
     the UNKNOWN urls for discovery; `resolveIDs` keeps unknowns too,
@@ -337,7 +405,9 @@ def admit_new_urls(
     # (localCheckpoint) so the probe cache can be released HERE —
     # persisted blocks otherwise accumulate across a long crawl (one
     # leak per epoch). Checkpoint blocks are GC-managed; persist pins.
-    probed = probe_seen(candidates, filters, n_buckets).persist()
+    probed = probe_seen(
+        candidates, filters, n_buckets, filters_path=filters_path
+    ).persist()
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     positives = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     verified_new = positives.join(seen_exact.select("url"), "url", "left_anti")

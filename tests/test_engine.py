@@ -147,7 +147,19 @@ def test_bucketed_commits_record_partial_writes(spark, tmp_path):
         datagen.pages_df(spark, {0: [1, 2], 1: [2, 5]}), NOW
     )
     assert s["deltas"] == 2 and s["new_nodes"] == 1
+    # pre-commit logical state is the ground truth the snapshot chain
+    # must reproduce (snapshot-vs-snapshot comparison alone would hide
+    # a partial write that dropped rows on BOTH sides)
+    want_edges = sorted(map(tuple, eng.edges.collect()))
+    want_walks = sorted(
+        (r.walk_id, tuple(r.path)) for r in eng.walks.collect()
+    )
+    assert len(want_edges) == 4
     eng._commit(NOW, s)
+    assert sorted(map(tuple, eng.edges.collect())) == want_edges
+    assert sorted(
+        (r.walk_id, tuple(r.path)) for r in eng.walks.collect()
+    ) == want_walks
 
     for table in ("walks", "edges", "filters"):
         snaps = eng.cat.snapshots(table)

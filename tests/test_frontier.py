@@ -251,6 +251,35 @@ def test_catalog_snapshot_commit_and_resume(spark, tmp_path):
     assert all("bytes" in f for f in s2.files)
 
 
+def test_probe_seen_executor_side_path_mode(spark, tmp_path):
+    """filters_path mode: workers pyarrow-read only their candidate
+    buckets from the committed snapshot (no driver collect/broadcast
+    of blobs) and must flag exactly what broadcast mode flags."""
+    seen_urls = [f"https://h{i % 9}.test/p{i}" for i in range(2000)]
+    cand_urls = [f"https://h{i % 9}.test/p{i}" for i in range(1000, 4000)]
+    seen_df = spark.createDataFrame([(u,) for u in seen_urls], "url string")
+    cand_df = spark.createDataFrame([(u,) for u in cand_urls], "url string")
+    filters = seen.build_seen_filters(seen_df, n_buckets=8)
+    cat = catalog.Catalog(str(tmp_path / "tables"))
+    snap = cat.write("filters", filters, epoch=1, partition_by=["bucket"])
+
+    via_bc = seen.probe_seen(cand_df, filters, 8)
+    via_path = seen.probe_seen(
+        cand_df, filters, 8, filters_path=snap.path
+    )
+    a = sorted((r.url, r.maybe_seen) for r in via_bc.collect())
+    b = sorted((r.url, r.maybe_seen) for r in via_path.collect())
+    assert a == b
+    # admission through the path mode equals the exact anti-join
+    admitted = seen.admit_new_urls(
+        cand_df, filters, seen_df, 8, filters_path=snap.path
+    )
+    want = sorted(
+        r.url for r in cand_df.join(seen_df, "url", "left_anti").collect()
+    )
+    assert sorted(r.url for r in admitted.collect()) == want
+
+
 def test_catalog_partial_commit_hardlinks_untouched_buckets(spark, tmp_path):
     """write_partial: only the listed buckets are written; every other
     bucket's files are HARDLINKS of the previous version (byte-
