@@ -396,10 +396,13 @@ def update_walks(
         .withColumn("updated", F.lit(False))
     )
 
-    # --- cut phase over affected walks only (delta maps, no CSR)
+    # --- cut phase over affected walks only (delta maps, no CSR).
+    # Checkpointed eagerly: three consumers (pass-through rows, the
+    # segment join's left side, the segment seeds) would otherwise
+    # re-run the cut AND re-scan the store each
     cut = _cut_phase(
         affected, removed_map, common_map, added_map, alpha, seed, epoch
-    )
+    ).localCheckpoint(eager=True)
     no_seg = cut.filter(F.col("seg_key").isNull()).select(
         "walk_id", "start_id", F.col("prefix").alias("path"), "updated"
     )

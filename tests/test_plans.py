@@ -56,6 +56,32 @@ def test_top_k_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in _plan(rank.top_k(scores, 5))
 
 
+def test_update_walks_untouched_path_is_shuffle_free(spark):
+    """Index-selective repair: with a removal-only delta, the
+    pass-through (untouched) branch is a map-side filter over the
+    store scan — no exchange, no Python — and the store never
+    shuffles on the repair path (graft sampling aside)."""
+    from crawler_spark import walks_update
+
+    walks = spark.createDataFrame(
+        [(i, i % 5, [i % 5, (i + 1) % 5]) for i in range(50)],
+        "walk_id long, start_id long, path array<long>",
+    )
+    out = walks_update.update_walks(
+        spark, walks, spark.createDataFrame([(0, 2)], "src long, dst long"),
+        [(0, [1], [2], [])], seed=1, epoch=1, strategy="broadcast",
+    )
+    p = _plan(out)
+    # removal-only delta: selection is a map-side arrays_overlap
+    # filter over the store scan, and the ONLY exchanges in the whole
+    # plan key on seg_key (affected-walk-sized) — the store itself
+    # never shuffles on the repair path.
+    assert "arrays_overlap" in p and "Union" in p
+    for line in p.splitlines():
+        if "Exchange" in line:
+            assert "seg_key" in line, line
+
+
 def test_delta_apply_broadcasts_removals(spark):
     edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
     deltas = spark.createDataFrame(
