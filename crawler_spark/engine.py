@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from . import frontier as frontier_mod
 from . import graph, schemas, seen, walks_gen, walks_update
 from .catalog import Catalog
-from .functions.extract import extract_links, is_valid_url
+from .functions.extract import extract_links, is_valid_url, url_host
 
 TABLES = ("nodes", "edges", "walks", "frontier", "metrics")
 
@@ -85,6 +85,12 @@ class CrawlEngine:
         self._walks_dirty: set[int] | None = None
         self._edges_dirty: set[int] | None = None
         self._filters_dirty: set[int] | None = None
+        # nodes bucket by the SAME host-hash as the filters, so the
+        # minted-url touched set drives both partial commits
+        self._nodes_dirty: set[int] | None = None
+        # frontier buckets by host hash; per epoch only the scheduled
+        # batch's hosts (and newly enqueued urls' hosts) change state
+        self._frontier_dirty: set[int] | None = None
         self.nodes: DataFrame | None = None
         self.edges: DataFrame | None = None
         self.walks: DataFrame | None = None
@@ -135,7 +141,10 @@ class CrawlEngine:
         """Read a table's current snapshot, stripping/normalizing the
         bucket partition column the bucketed tables carry on disk."""
         df = self.cat.read(self.spark, name)
-        if name in ("walks", "edges") and "bucket" in df.columns:
+        if (
+            name in ("walks", "edges", "nodes", "frontier")
+            and "bucket" in df.columns
+        ):
             df = df.drop("bucket")
         if name == "filters":
             # partition col comes back as int and reordered — restore
@@ -158,6 +167,15 @@ class CrawlEngine:
         self._walks_dirty = set()
         self._edges_dirty = set()
         self._filters_dirty = set()
+        self._nodes_dirty = set()
+        self._frontier_dirty = set()
+
+    def _host_bucket(self):
+        """Frontier bucket: hash of the host string (the politeness/
+        locality unit), modulo the filter bucket count."""
+        return F.pmod(
+            F.xxhash64(F.col("host")), F.lit(self.n_buckets)
+        ).cast("int")
 
     def _bucket_of(self, key_col: str):
         # cast to long BEFORE hashing: xxhash64(int32) != xxhash64(
@@ -188,6 +206,11 @@ class CrawlEngine:
             "walks": (self._bucket_of("walk_id"), self._walks_dirty),
             "edges": (self._bucket_of("src"), self._edges_dirty),
             "filters": (None, self._filters_dirty),
+            "nodes": (
+                seen.url_bucket(F.col("url"), self.n_buckets),
+                self._nodes_dirty,
+            ),
+            "frontier": (self._host_bucket(), self._frontier_dirty),
         }
         for name, df in (
             ("nodes", self.nodes),
@@ -217,6 +240,8 @@ class CrawlEngine:
         self._walks_dirty = set()
         self._edges_dirty = set()
         self._filters_dirty = set()
+        self._nodes_dirty = set()
+        self._frontier_dirty = set()
 
     # ---- the epoch ----
 
@@ -231,10 +256,20 @@ class CrawlEngine:
             tick_seconds=self.tick_seconds,
             batch_size=self.batch_size,
         )
+        if robots is not None:
+            # robots may flip arbitrary queued rows to 'blocked' —
+            # conservatively commit the frontier in full
+            self._frontier_dirty = None
+        # one action: scheduled count AND the frontier dirty buckets
+        # (hosts of state-flipped rows)
+        brows = (
+            batch.groupBy(self._host_bucket().alias("b")).count().collect()
+        )
+        self._mark_dirty("_frontier_dirty", (r["b"] for r in brows))
         fetched = web.join(batch.select("url"), "url", "left_semi")
         stats = self.process_pages(fetched, now)
         stats.update(self.maybe_arbiter(now))
-        stats["scheduled"] = batch.count()
+        stats["scheduled"] = sum(int(r["count"]) for r in brows)
         self._commit(now, stats)
         return stats
 
@@ -314,6 +349,7 @@ class CrawlEngine:
                 self.n_buckets,
             )
             self._mark_dirty("_filters_dirty", touched)
+            self._mark_dirty("_nodes_dirty", touched)
             self.nodes = self.nodes.unionByName(minted)
 
         # new follow lists for EVERY fetched author (active AND
@@ -433,13 +469,31 @@ class CrawlEngine:
             seed=self.seed,
             strategy=self.walk_strategy,
         )
-        # promotions add walks / demotions drop them across arbitrary
-        # buckets — an arbiter restructure commits the walk store in
-        # full (rare: it is gated by the change-ratio trigger)
+        # promotions add walks / demotions drop them, and status
+        # flips touch nodes, across arbitrary buckets — an arbiter
+        # restructure commits walks AND nodes in full (rare: it is
+        # gated by the change-ratio trigger)
         self._walks_dirty = None
+        self._nodes_dirty = None
         if n_promoted:
             self.frontier = frontier_mod.enqueue(
                 self.frontier, promoted.select("url", "node_id"), now
+            )
+            self._mark_dirty(
+                "_frontier_dirty",
+                (
+                    r["b"]
+                    for r in promoted.select(
+                        F.pmod(
+                            F.xxhash64(url_host(F.col("url"))),
+                            F.lit(self.n_buckets),
+                        )
+                        .cast("int")
+                        .alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                ),
             )
         self.walks_changed = 0
         return {"arbiter": 1, "promoted": n_promoted, "change_ratio": ratio}

@@ -46,6 +46,9 @@ def _run(spark, tmp_path, name, epochs=4):
             eng.frontier, None, now, tick_seconds=eng.tick_seconds,
             batch_size=eng.batch_size,
         )
+        # this loop mutates the frontier outside run_epoch's dirty
+        # tracking -> commit it in full
+        eng._frontier_dirty = None
         urls = [r.url for r in batch.orderBy(F.desc("priority"), "url").collect()]
         order.append(urls)
         eng.epoch += 1
@@ -154,14 +157,16 @@ def test_bucketed_commits_record_partial_writes(spark, tmp_path):
     want_walks = sorted(
         (r.walk_id, tuple(r.path)) for r in eng.walks.collect()
     )
+    want_nodes = sorted(map(str, eng.nodes.collect()))
     assert len(want_edges) == 4
     eng._commit(NOW, s)
     assert sorted(map(tuple, eng.edges.collect())) == want_edges
     assert sorted(
         (r.walk_id, tuple(r.path)) for r in eng.walks.collect()
     ) == want_walks
+    assert sorted(map(str, eng.nodes.collect())) == want_nodes
 
-    for table in ("walks", "edges", "filters"):
+    for table in ("walks", "edges", "filters", "nodes"):
         snaps = eng.cat.snapshots(table)
         assert "changed_buckets" in snaps[-1].metrics, table
     walks_snaps = eng.cat.snapshots("walks")
