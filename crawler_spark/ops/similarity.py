@@ -161,6 +161,86 @@ def cosine_topk_lsh(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    n_iters: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means centroids for the IVF index: deterministic
+    hash-sampled init, then `n_iters` Lloyd rounds. Each round is ONE
+    map-side pass (mapInPandas computes per-partition per-cell partial
+    sums of the normalized vectors against the broadcast centroid
+    matrix); the driver reduces <= partitions x n_cells partial rows —
+    never the vectors. Scale cost per round = one corpus scan, zero
+    shuffles. Returns (cell, centroid: array<double>)."""
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    init = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.lit(seed), F.col(id_col)))
+        .limit(n_cells)
+        .orderBy(F.col(id_col))
+        .collect()
+    )
+    cents = np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in init]
+    )
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    part_schema = "cell int, n long, vsum array<double>"
+    for _ in range(max(n_iters, 0)):
+        bc = spark.sparkContext.broadcast(cents)
+
+        def partials(batches):
+            c = bc.value
+            acc_n = np.zeros(len(c), dtype=np.int64)
+            acc_v = np.zeros_like(c)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.asarray(
+                    np.stack(pdf[vec_col].to_numpy()), dtype=np.float64
+                )
+                mat /= np.maximum(
+                    np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+                )
+                cell = np.argmax(mat @ c.T, axis=1)
+                for ci in np.unique(cell):
+                    m = cell == ci
+                    acc_n[ci] += int(m.sum())
+                    acc_v[ci] += mat[m].sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "cell": np.arange(len(c), dtype=np.int32),
+                    "n": acc_n,
+                    "vsum": list(acc_v),
+                }
+            )
+
+        rows = (
+            corpus.select(F.col(vec_col))
+            .mapInPandas(partials, schema=part_schema)
+            .collect()
+        )
+        new_n = np.zeros(len(cents), dtype=np.int64)
+        new_v = np.zeros_like(cents)
+        for r in sorted(rows, key=lambda r: r["cell"]):
+            new_n[r["cell"]] += int(r["n"])
+            new_v[r["cell"]] += np.asarray(r["vsum"], dtype=np.float64)
+        nonempty = new_n > 0
+        cents[nonempty] = new_v[nonempty] / np.maximum(
+            np.linalg.norm(new_v[nonempty], axis=1, keepdims=True), 1e-12
+        )
+    return spark.createDataFrame(
+        [(i + 1, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -170,21 +250,15 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_iters: int = 2,
 ) -> DataFrame:
-    """Inverted-file ANN: centroids = a deterministic hash-sample of
-    the corpus; every vector indexes to its nearest centroid; queries
-    scan their `nprobe` nearest cells. One small broadcast (the
-    centroids) + per-cell joins."""
-    cent = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.xxhash64(F.lit(seed), F.col(id_col)))
-        .limit(n_cells)
-        .select(
-            F.row_number()
-            .over(Window.orderBy(F.col(id_col)))
-            .alias("cell"),
-            F.col(vec_col).alias("centroid"),
-        )
+    """Inverted-file ANN: spherical-k-means centroids (hash-sample
+    init + Lloyd rounds, `kmeans_centroids`); every vector indexes to
+    its nearest centroid; queries scan their `nprobe` nearest cells.
+    One small broadcast (the centroids) + per-cell joins."""
+    cent = kmeans_centroids(
+        corpus, n_cells, n_iters=n_iters, seed=seed,
+        id_col=id_col, vec_col=vec_col,
     )
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("cv"))
     assign_w = Window.partitionBy(id_col).orderBy(F.desc("cos_c"), F.asc("cell"))

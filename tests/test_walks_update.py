@@ -212,6 +212,34 @@ def test_update_strategy_equality(spark):
     assert run("broadcast") == run("iterative")
 
 
+def test_update_iterative_never_collects_edges(spark, monkeypatch):
+    """VERDICT r1 #3 done-criterion: repair with the iterative
+    strategy must run without ANY full-edge toPandas (the 10^10
+    path). collect_csr is poisoned; only the broadcast path may use
+    it."""
+    import crawler_spark.walks_update as wu
+
+    def boom(_):
+        raise AssertionError("full-edge collect on the iterative path")
+
+    monkeypatch.setattr(wu, "collect_csr", boom)
+    fx = datagen.FIXTURES["acyclic1"]
+    walks = walks_gen.generate_walks(
+        spark, _edges_df(spark, fx.follows), _starts_df(spark, fx.follows),
+        walks_per_node=10, seed=2, strategy="broadcast",
+    ).localCheckpoint()
+    node, removed, added = fx.deltas[0]
+    follows1 = _apply(fx.follows, node, removed, added)
+    d = _delta_tuple(fx.follows, node, removed, added)
+    out = walks_update.finish_update(
+        walks_update.update_walks(
+            spark, walks, _edges_df(spark, follows1), [d],
+            seed=2, epoch=1, strategy="iterative",
+        )
+    )
+    assert out.count() == walks.count()
+
+
 def test_update_visits_index_selection_equality(spark):
     """Selection through a materialized visits index (the reference's
     walksVisiting sets) must equal the path-scan selection."""
