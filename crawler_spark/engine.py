@@ -457,7 +457,7 @@ class CrawlEngine:
             walks_per_node=self.wpn,
             promotion_wait_s=self.promotion_wait_s,
         )
-        self.nodes, self.walks, promoted, n_promoted = frontier_mod.apply_arbiter(
+        self.nodes, self.walks, promoted, cnts = frontier_mod.apply_arbiter(
             self.spark,
             self.nodes,
             self.walks,
@@ -469,12 +469,15 @@ class CrawlEngine:
             seed=self.seed,
             strategy=self.walk_strategy,
         )
-        # promotions add walks / demotions drop them, and status
-        # flips touch nodes, across arbitrary buckets — an arbiter
-        # restructure commits walks AND nodes in full (rare: it is
-        # gated by the change-ratio trigger)
-        self._walks_dirty = None
-        self._nodes_dirty = None
+        n_promoted = cnts.get("promote", 0)
+        if n_promoted or cnts.get("demote", 0):
+            # promotions add walks / demotions drop them, and status
+            # flips touch nodes, across arbitrary buckets — an
+            # arbiter RESTRUCTURE commits walks and nodes in full
+            # (rare: change-ratio-gated AND something actually
+            # flipped; a no-op pass stays on partial commits)
+            self._walks_dirty = None
+            self._nodes_dirty = None
         if n_promoted:
             self.frontier = frontier_mod.enqueue(
                 self.frontier, promoted.select("url", "node_id"), now

@@ -224,16 +224,18 @@ def apply_arbiter(
     walks_per_node: int = schemas.DEFAULT_WALKS_PER_NODE,
     seed: int = 42,
     strategy: str = "auto",
-) -> tuple[DataFrame, DataFrame, DataFrame, int]:
+) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
     """Bulk PromoteNode/DemoteNode (arbiter.go:192-228): returns
-    (nodes', walks', promoted nodes, n_promoted). Promotion generates
-    walks_per_node walks per promoted node in ONE job (vs the
-    reference's per-node loop); demotion drops walks originating at
-    demoted nodes in one anti-join.
+    (nodes', walks', promoted nodes, decision counts). Promotion
+    generates walks_per_node walks per promoted node in ONE job (vs
+    the reference's per-node loop); demotion drops walks originating
+    at demoted nodes in one anti-join.
 
     ONE driver action sizes both branches (the former pair of
     limit(1).count() probes plus the caller's promoted.count() were
-    three needless job launches per arbiter pass in the epoch loop)."""
+    three needless job launches per arbiter pass in the epoch loop);
+    the counts let the engine skip full-table commits when a pass
+    flips nothing."""
     promoted = decisions.filter(F.col("decision") == "promote").select(
         "node_id", "url"
     )
@@ -283,7 +285,7 @@ def apply_arbiter(
         )
         .drop("decision")
     )
-    return new_nodes, new_walks, promoted, n_promoted
+    return new_nodes, new_walks, promoted, cnts
 
 
 def change_ratio(walks_changed: int, total_visits_: int, alpha: float) -> float:

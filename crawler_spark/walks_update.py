@@ -370,6 +370,11 @@ def update_walks(
     # candidates are exactly the graft sample. Everything else is a
     # pass-through: no Python, no shuffle, no rewrite.
     rm_nodes = sorted(removed_map)
+    # a massive removal set would make the literal overlap array a
+    # codegen liability — derive an on-the-fly inverted index instead
+    # (same selection the materialized-visits path runs)
+    if visits is None and len(rm_nodes) > 4096:
+        visits = walks.select(F.explode("path").alias("node_id"), "walk_id")
     if visits is not None and rm_nodes:
         sel = (
             visits.filter(F.col("node_id").isin(rm_nodes))

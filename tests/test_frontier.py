@@ -217,12 +217,12 @@ def test_apply_arbiter_flips_and_walks(spark):
         walks_per_node=20, seed=42,
     ).localCheckpoint()
     dec = frontier.arbiter_decisions(nodes, walks, NOW, walks_per_node=20)
-    n2, w2, promoted, n_promoted = frontier.apply_arbiter(
+    n2, w2, promoted, cnts = frontier.apply_arbiter(
         spark, nodes, walks, edges, dec, NOW, walks_per_node=20, seed=42
     )
     # node1 gets promoted (visited by others' walks), gains 20 walks
     assert [r.node_id for r in promoted.collect()] == [1]
-    assert n_promoted == 1
+    assert cnts.get("promote") == 1
     st = {r.node_id: r.status for r in n2.collect()}
     assert st[1] == "active"
     assert w2.filter(F.col("start_id") == 1).count() == 20
