@@ -101,12 +101,13 @@ class CrawlEngine:
 
     @property
     def walk_strategy(self) -> str:
-        """Broadcast-CSR vs iterative walk machinery, decided from the
-        incrementally-tracked edge count (no count() action)."""
+        """Broadcast-CSR vs host-locality bucketed walk machinery,
+        decided from the incrementally-tracked edge count (no count()
+        action)."""
         return (
             "broadcast"
             if self.n_edges <= walks_gen.BROADCAST_EDGE_LIMIT
-            else "iterative"
+            else "bucketed"
         )
 
     def bootstrap(self, seed_urls: list[str], now: _dt.datetime) -> None:

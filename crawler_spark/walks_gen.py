@@ -240,7 +240,10 @@ def generate_walks(
         partitions = spark.sparkContext.defaultParallelism
     if strategy == "auto":
         n_edges = edges.count()
-        strategy = "broadcast" if n_edges <= BROADCAST_EDGE_LIMIT else "iterative"
+        # beyond the broadcast limit, bucketed (host-locality cogroup)
+        # beats the per-step iterative join: half the shuffle bytes on
+        # web-shaped graphs (BENCH/iterative_scale_r2.json)
+        strategy = "broadcast" if n_edges <= BROADCAST_EDGE_LIMIT else "bucketed"
     if strategy == "broadcast":
         return _generate_broadcast(
             spark, edges, starts, alpha, walks_per_node, seed,

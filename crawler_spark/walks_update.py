@@ -413,7 +413,12 @@ def update_walks(
     )
     seg_rows = cut.filter(F.col("seg_key").isNotNull())
 
-    # --- segment regrowth (small — only walks needing one)
+    # --- segment regrowth (small — only walks needing one).
+    # 'bucketed' callers map to the iterative grower here: the
+    # segment set is delta-sized, so per-step joins are cheap and the
+    # cogroup machinery would be overhead
+    if strategy == "bucketed":
+        strategy = "iterative"
     if strategy == "auto":
         n_edges = edges_after.count()
         strategy = "broadcast" if n_edges <= BROADCAST_EDGE_LIMIT else "iterative"
