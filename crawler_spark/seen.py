@@ -278,6 +278,10 @@ def _read_filter_bucket(path: str, bucket: int):
     key = (path, bucket)
     if key in _WORKER_FILTER_CACHE:
         return _WORKER_FILTER_CACHE[key]
+    if len(_WORKER_FILTER_CACHE) > 8192:
+        # long-lived workers see a new snapshot path per epoch; drop
+        # stale entries wholesale rather than track versions
+        _WORKER_FILTER_CACHE.clear()
     import glob as _glob
     import os as _os
 
