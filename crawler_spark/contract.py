@@ -372,6 +372,26 @@ def q_ppr_source0(spark, sf_dir):
     return scores.select("node_id", F.round("rank", 6).alias("rank"))
 
 
+def q_ppr_many_sources(spark, sf_dir):
+    """M14 many-source fan-out (grouped applyInPandas, one stitch per
+    source, shared bounded-neighborhood CSR) — rows-only: gated by
+    the analytic fixtures + single-source parity in tests/test_ppr."""
+    from . import ppr
+
+    edges = _events_edges(spark, sf_dir)
+    starts = edges.select(F.col("src").alias("node_id")).distinct()
+    walks = walks_gen.generate_walks(
+        spark, edges, starts, walks_per_node=100, seed=42, strategy="broadcast"
+    )
+    sources = starts.filter(F.col("node_id") < 5)
+    scores = ppr.personalized_pagerank_many(
+        spark, edges, walks, sources, top_k=20, seed=42
+    )
+    return scores.select(
+        "source_id", "node_id", F.round("rank", 6).alias("rank")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s4_latest_event_dedup": q_s4_latest_event_dedup,
     "s2_admission_seen_filter": q_s2_admission_seen_filter,
@@ -397,6 +417,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "mc_pagerank": q_mc_pagerank,
     "ppr_source0": q_ppr_source0,
+    "ppr_many_sources": q_ppr_many_sources,
 }
 
 

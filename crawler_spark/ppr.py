@@ -283,15 +283,18 @@ def personalized_pagerank_many(
     alpha: float = DEFAULT_ALPHA,
     seed: int = 42,
     max_nodes: int = PPR_NODE_BUDGET,
+    visits: DataFrame | None = None,
 ) -> DataFrame:
     """Many-source fan-out: one stitch task per source via grouped
     applyInPandas (SURVEY §2.8 M14 'many-source' path). Returns
     (source_id, node_id, rank).
 
     Each source's bounded walk sample is attached by a join from the
-    visits index; the shared bounded-neighborhood CSR (closure of all
-    sources' sampled walks) is broadcast once. Sources are
-    independent — this scales linearly with executors."""
+    visits index — a maintained (node_id, walk_id) index when the
+    caller has one (the reference's walksVisiting sets, W5), else
+    derived by exploding the store; the shared bounded-neighborhood
+    CSR (closure of all sources' sampled walks) is broadcast once.
+    Sources are independent — this scales linearly with executors."""
     target = required_length(top_k, alpha)
     limit = walks_needed(target, alpha)
 
@@ -308,12 +311,19 @@ def personalized_pagerank_many(
         )
     ).where(F.col("member").isNotNull()).distinct()
 
-    visits = walks.select(
-        F.explode("path").alias("member"), "walk_id", "path"
-    )
+    if visits is not None:
+        hits = members.join(
+            visits.select(F.col("node_id").alias("member"), "walk_id"),
+            "member",
+        ).select("source_id", "walk_id").distinct()
+        v = hits.join(walks.select("walk_id", "path"), "walk_id")
+    else:
+        v = members.join(
+            walks.select(F.explode("path").alias("member"), "walk_id", "path"),
+            "member",
+        )
     per_source_walks = (
-        members.join(visits, "member")
-        .select("source_id", "walk_id", "path")
+        v.select("source_id", "walk_id", "path")
         .distinct()
         .localCheckpoint(eager=True)  # read twice: roots + stitch
     )

@@ -63,6 +63,22 @@ def test_personalized_deterministic(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_many_source_visits_index_equality(spark):
+    """A maintained visits index must give the same many-source
+    result as the derived explode (the reference's walksVisiting W5
+    lookup vs a store scan)."""
+    fx = datagen.FIXTURES["acyclic1"]
+    edges, starts, walks = _setup(spark, fx, wpn=200)
+    idx = walks_gen.visits_of(walks)
+    a = ppr.personalized_pagerank_many(
+        spark, edges, walks, starts, top_k=30, seed=6
+    )
+    b = ppr.personalized_pagerank_many(
+        spark, edges, walks, starts, top_k=30, seed=6, visits=idx
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
 def test_neighborhood_csr_is_bounded(spark, monkeypatch):
     """The stitcher's adjacency is the BFS closure of the sampled
     neighborhood (FollowCache contract, pkg/pagerank/cache.go:11-62)
