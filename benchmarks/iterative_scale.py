@@ -35,7 +35,7 @@ import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-EDGES_PATH = "/tmp/spark_graft_iter_edges.parquet"
+EDGES_PATH_TPL = "/tmp/spark_graft_iter_edges_{n}.parquet"
 
 
 def shuffle_totals(spark) -> tuple[int, int]:
@@ -83,12 +83,13 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    if not os.path.exists(EDGES_PATH):
+    edges_path = EDGES_PATH_TPL.format(n=args.nodes)  # per-size cache
+    if not os.path.exists(edges_path):
         synth_edges(
             spark, args.nodes, avg_degree=10, locality=0.8,
             host_block=256, seed=42, partitions=parts,
-        ).write.mode("overwrite").parquet(EDGES_PATH)
-    edges = spark.read.parquet(EDGES_PATH)
+        ).write.mode("overwrite").parquet(edges_path)
+    edges = spark.read.parquet(edges_path)
     n_edges = edges.count()
     print(f"graph: {args.nodes} nodes, {n_edges} edges", file=sys.stderr)
     if args.nodes >= 3_000_000:
@@ -123,7 +124,7 @@ def main() -> None:
     # equality spot-check at this scale: 5k seeds, all strategies
     sub = spark.range(0, 5000).select((F.col("id") * 631).alias("node_id"))
     sets = []
-    for strategy in ["bucketed", "iterative", "broadcast"]:
+    for strategy in strategies:
         w = walks_gen.generate_walks(
             spark, edges, sub, walks_per_node=1, seed=7,
             strategy=strategy, partitions=parts,

@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from . import frontier as frontier_mod
 from . import graph, schemas, seen, walks_gen, walks_update
 from .catalog import Catalog
-from .functions.extract import extract_links, is_valid_url, url_host
+from .functions.extract import extract_links, is_valid_url
 
 TABLES = ("nodes", "edges", "walks", "frontier", "metrics")
 
@@ -483,15 +483,15 @@ class CrawlEngine:
             self.frontier = frontier_mod.enqueue(
                 self.frontier, promoted.select("url", "node_id"), now
             )
+            # seen.url_bucket == pmod(xxhash64(host(url)), B) — the
+            # SAME definition _host_bucket applies to the frontier's
+            # host column at commit time (one definition, two spots)
             self._mark_dirty(
                 "_frontier_dirty",
                 (
                     r["b"]
                     for r in promoted.select(
-                        F.pmod(
-                            F.xxhash64(url_host(F.col("url"))),
-                            F.lit(self.n_buckets),
-                        )
+                        seen.url_bucket(F.col("url"), self.n_buckets)
                         .cast("int")
                         .alias("b")
                     )

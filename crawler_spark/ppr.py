@@ -237,12 +237,17 @@ def personalized_pagerank(
     Returns (node_id, rank). A dangling source returns {source: 1.0}
     (pagerank.go:138-141). The adjacency is the bounded-neighborhood
     closure, not the full graph (a prebuilt `csr` skips that)."""
-    follows = sorted(
-        int(r["dst"])
-        for r in edges.filter(F.col("src") == int(node_id))
-        .select("dst")
-        .collect()
-    )
+    if csr is not None:
+        # prebuilt CSR: O(log n) in-memory lookup, no Spark job (the
+        # shared-CSR looping-caller pattern)
+        follows = sorted(int(x) for x in csr.follows(int(node_id)))
+    else:
+        follows = sorted(
+            int(r["dst"])
+            for r in edges.filter(F.col("src") == int(node_id))
+            .select("dst")
+            .collect()
+        )
     if not follows:
         return spark.createDataFrame(
             [(int(node_id), 1.0)], "node_id long, rank double"

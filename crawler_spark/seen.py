@@ -278,10 +278,12 @@ def _read_filter_bucket(path: str, bucket: int):
     key = (path, bucket)
     if key in _WORKER_FILTER_CACHE:
         return _WORKER_FILTER_CACHE[key]
-    if len(_WORKER_FILTER_CACHE) > 8192:
-        # long-lived workers see a new snapshot path per epoch; drop
-        # stale entries wholesale rather than track versions
-        _WORKER_FILTER_CACHE.clear()
+    # long-lived workers see a new snapshot path per epoch; superseded
+    # snapshots' blobs (up to ~100s of MB per bucket at 10^10 urls)
+    # must not stay resident — evict every other path's entries
+    stale = [k for k in _WORKER_FILTER_CACHE if k[0] != path]
+    for k in stale:
+        del _WORKER_FILTER_CACHE[k]
     import glob as _glob
     import os as _os
 

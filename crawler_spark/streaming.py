@@ -68,27 +68,33 @@ def host_rate_metrics(
 
 
 POLITE_OUT = "host string, url string, priority double, admitted_ts double"
-POLITE_STATE = "last_ts double, credit double"
+POLITE_STATE = (
+    "last_ts double, credit double, "
+    "q_urls array<string>, q_prios array<double>"
+)
 
 
 def polite_gate_stream(
     candidates: DataFrame,
     crawl_delay_s: float = 1.0,
     burst_cap: float = 4.0,
+    carry_cap: int = 1000,
 ):
     """Custom STATEFUL streaming operator (applyInPandasWithState):
     a per-host token-bucket politeness gate over a stream of frontier
     candidates (url, host, priority, warc_ts).
 
-    State per host = (last event-time seen, fractional credit).
-    Tokens accrue at 1/crawl_delay_s per event-time second up to
-    `burst_cap`; each micro-batch admits its top-priority urls up to
-    the accrued (floor) tokens — the streaming form of the epoch
-    scheduler's floor(tick/delay) budget (frontier.schedule_batch,
-    S3), with the budget carried as STATE between micro-batches
-    instead of recomputed per tick. Deterministic: ordering is
-    (priority DESC, url), time is event time, and state transitions
-    are pure functions of (state, batch).
+    State per host = (last event-time seen, fractional credit, and
+    the DEFERRED queue: over-budget urls wait in state for later
+    micro-batches, exactly like schedule_batch leaves them 'queued'
+    for later ticks). Tokens accrue at 1/crawl_delay_s per event-time
+    second up to `burst_cap`; each micro-batch admits the
+    top-priority urls (deferred ∪ new) up to the accrued (floor)
+    tokens. The deferred queue is bounded at `carry_cap` per host —
+    lowest-priority overflow is shed, the reference's bounded-channel
+    load-shedding (cmd/crawler.go:101-133). Deterministic: ordering
+    is (priority DESC, url), time is event time, and state
+    transitions are pure functions of (state, batch).
     """
     import pandas as pd
 
@@ -98,20 +104,40 @@ def polite_gate_stream(
         if not rows:
             return
         pdf = pd.concat(rows, ignore_index=True)
-        pdf = pdf.sort_values(
-            ["priority", "url"], ascending=[False, True]
-        )
         now = float(pdf["ts_sec"].max())
         if state.exists:
-            last_ts, credit = state.get
+            last_ts, credit, q_urls, q_prios = state.get
             credit = min(
                 burst_cap, credit + max(now - last_ts, 0.0) / crawl_delay_s
             )
+            if q_urls is not None and len(q_urls):
+                pdf = pd.concat(
+                    [
+                        pdf[["url", "priority"]],
+                        pd.DataFrame(
+                            {"url": list(q_urls), "priority": list(q_prios)}
+                        ),
+                    ],
+                    ignore_index=True,
+                )
         else:
             credit = 1.0  # a fresh host may be fetched immediately
+        pdf = (
+            pdf[["url", "priority"]]
+            .sort_values(["priority", "url"], ascending=[False, True])
+            .drop_duplicates("url", keep="first")
+        )
         n = int(credit)
         take = pdf.head(n)
-        state.update((now, credit - len(take)))
+        rest = pdf.iloc[len(take): len(take) + carry_cap]
+        state.update(
+            (
+                now,
+                credit - len(take),
+                rest["url"].tolist(),
+                rest["priority"].tolist(),
+            )
+        )
         if len(take):
             yield pd.DataFrame(
                 {

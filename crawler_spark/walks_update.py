@@ -100,6 +100,10 @@ _SEG_SCHEMA = StructType(
     ]
 )
 
+# above this many removal nodes, selection switches from literal
+# expressions (overlap array / IN-set) to broadcast-join probes
+LITERAL_SELECT_LIMIT = 4096
+
 # rng stream salts (distinct from walk-generation streams 0/1)
 _SALT_SEGMENT = 101  # derived seed for regrown segments
 _SALT_FIRST_REMOVED = 3  # candidate choice, removed-phase (stream 3)
@@ -373,16 +377,30 @@ def update_walks(
     # a massive removal set would make the literal overlap array a
     # codegen liability — derive an on-the-fly inverted index instead
     # (same selection the materialized-visits path runs)
-    if visits is None and len(rm_nodes) > 4096:
+    big_delta = len(rm_nodes) > LITERAL_SELECT_LIMIT
+    if visits is None and big_delta:
         visits = walks.select(F.explode("path").alias("node_id"), "walk_id")
     if visits is not None and rm_nodes:
-        sel = (
-            visits.filter(F.col("node_id").isin(rm_nodes))
-            .select("walk_id")
-            .distinct()
-            .withColumn("_aff", F.lit(True))
+        if big_delta:
+            # a giant IN-list is the same expression-tree liability as
+            # the overlap array — probe via a broadcast semi-join of
+            # the (small) removal-node set instead
+            rm_df = spark.createDataFrame(
+                [(int(n),) for n in rm_nodes], "node_id long"
+            )
+            probed = visits.join(rm_df.hint("broadcast"), "node_id", "left_semi")
+        else:
+            probed = visits.filter(F.col("node_id").isin(rm_nodes))
+        sel = probed.select("walk_id").distinct().withColumn(
+            "_aff", F.lit(True)
         )
-        state = state.join(sel.hint("broadcast"), "walk_id", "left")
+        # broadcast only for small deltas: a mass removal can select
+        # an unbounded share of the store, and forcing THAT through
+        # the driver would be the OOM this module exists to avoid —
+        # let AQE pick the join for the fallback path
+        if not big_delta:
+            sel = sel.hint("broadcast")
+        state = state.join(sel, "walk_id", "left")
         aff_cond = F.col("_aff").isNotNull() | F.col("graft_node").isNotNull()
     elif rm_nodes:
         rm_arr = F.array(*[F.lit(n).cast("long") for n in rm_nodes])

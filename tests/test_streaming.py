@@ -114,13 +114,17 @@ def test_polite_gate_stateful_stream(spark, tmp_path):
     for r in got:
         by_host.setdefault(r.host, []).append(r)
     # batch 0: fresh host -> credit 1.0 -> exactly the top-priority
-    # url; batch 1 (30s later, delay 10s) -> 3 more tokens -> 3 urls
+    # url; the over-budget rest DEFERS in state. batch 1 (30s later,
+    # delay 10s) -> 3 tokens over deferred ∪ new by (priority, url):
+    # b1p5 (prio 5), then prio-4 ties b0p4 < b1p4.
     for h in ("a.test", "b.test"):
-        urls = sorted(r.url for r in by_host[h])
-        assert len(urls) == 4, urls
-        assert f"https://{h}/b0p5" in urls          # batch-0 top priority
-        assert {f"https://{h}/b1p5", f"https://{h}/b1p4",
-                f"https://{h}/b1p3"} <= set(urls)   # batch-1 top 3
+        urls = {r.url for r in by_host[h]}
+        assert urls == {
+            f"https://{h}/b0p5",
+            f"https://{h}/b1p5",
+            f"https://{h}/b0p4",
+            f"https://{h}/b1p4",
+        }, urls
 
 
 def test_stream_source_schema(spark, tmp_path):
