@@ -29,12 +29,21 @@ def mint_node_ids(
     not yet in `nodes`.
 
     The reference mints via a mutable Redis counter and tolerates holes
-    (database.go:193-199); here ids are `max_id + row_number() over
-    (order by url)` — deterministic, gap-free, partition-invariant.
-    Returns the NEW node rows only (caller unions into nodes).
+    (database.go:193-199); here ids are `max_id + rank-of-url` —
+    deterministic, gap-free, partition-invariant. Returns the NEW node
+    rows only (caller unions into nodes).
 
-    The row_number runs only over the (small) batch of new urls — a
-    single-partition window over the discovery batch, not the corpus.
+    The global url rank is computed in TWO PHASES so a 10^8-url
+    discovery burst never funnels through one task: range-partition by
+    url (contiguous url ranges, parallel sort), then
+    `exclusive-prefix-offset(partition) + row_number within partition`.
+    Because range partitions are non-overlapping and ordered, the
+    composition equals the global `row_number() over (order by url)`
+    for ANY boundary placement — ids are bit-identical to the
+    single-window form regardless of sampling or input partitioning.
+    The only unpartitioned window runs over the per-partition COUNTS
+    (<= `partitions` rows), and the range exchange is reused between
+    the counts and the ranking (one shuffle of the batch).
     """
     cand = candidate_urls.select("url").distinct()
     if nodes is not None:
@@ -42,13 +51,25 @@ def mint_node_ids(
         max_id = (nodes.agg(F.max("node_id")).first()[0] or -1) + 1
     else:
         max_id = 0
-    w = Window.orderBy("url")
+    spark = candidate_urls.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    ranged = cand.repartitionByRange(n_parts, F.col("url").asc()).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("_pid").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    w = Window.partitionBy("_pid").orderBy("url")
     ts = F.lit(added_ts).cast("timestamp") if added_ts else F.current_timestamp()
-    return cand.select(
+    return ranged.join(F.broadcast(offsets), "_pid").select(
         # cast: row_number yields INT; ids must be LONG everywhere
         # (xxhash64 hashes int32 and int64 differently — a mixed-width
         # id column silently breaks hash-bucket agreement)
-        (F.lit(max_id) + F.row_number().over(w) - 1).cast("long").alias("node_id"),
+        (F.lit(max_id) + F.col("_off") + F.row_number().over(w) - 1)
+        .cast("long")
+        .alias("node_id"),
         "url",
         F.lit(status).alias("status"),
         ts.alias("added_ts"),

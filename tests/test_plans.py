@@ -82,6 +82,21 @@ def test_update_walks_untouched_path_is_shuffle_free(spark):
             assert "seg_key" in line, line
 
 
+def test_mint_node_ids_has_no_global_window(spark):
+    """M12 two-phase minting: the url-rank window is partitioned by
+    the range-partition id (parallel); no single-partition window ever
+    sees the candidate rows. (The only unpartitioned window runs over
+    the <=P per-partition counts.)"""
+    urls = spark.range(0, 1000).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 13).cast("string"),
+                 F.lit(".test/u"), F.col("id").cast("string")).alias("url")
+    )
+    p = _plan(graph.mint_node_ids(None, urls))
+    assert "windowspecdefinition(url" not in p  # no global url sort
+    assert "windowspecdefinition(_pid" in p  # per-range ranking
+    assert "rangepartitioning" in p.lower()  # parallel ordered exchange
+
+
 def test_delta_apply_broadcasts_removals(spark):
     edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
     deltas = spark.createDataFrame(
