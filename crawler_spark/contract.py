@@ -106,7 +106,12 @@ def q_s2_admission_seen_filter(spark, sf_dir):
         .select(_user_url(F.col("uid")).alias("url"))
     )
     filters = seen.build_seen_filters(seen_urls, n_buckets=16)
-    return seen.admit_new_urls(candidates, filters, seen_urls, 16).select("url")
+    # eager=False: the driver consumes this once — the lazy union is
+    # one action with the probe's upstream exchange reused, no
+    # checkpoint write (the q3 bench regression of round 2)
+    return seen.admit_new_urls(
+        candidates, filters, seen_urls, 16, eager=False
+    ).select("url")
 
 
 def q_a1_visit_counts(spark, sf_dir):

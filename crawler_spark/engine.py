@@ -331,14 +331,21 @@ class CrawlEngine:
         if self._filters_dirty is not None and not self._filters_dirty:
             cur = self.cat.current("filters")
             fpath = cur.path if cur else None
+        # eager=False + checkpoint of MINTED (not the admitted set):
+        # one materialization instead of two per epoch — minted is the
+        # DF with three consumers (count, filter update, nodes union),
+        # the admitted set feeds only the mint
         new_urls = seen.admit_new_urls(
             candidates,
             self.filters,
             self.nodes.select("url"),
             self.n_buckets,
             filters_path=fpath,
+            eager=False,
         )
-        minted = graph.mint_node_ids(self.nodes, new_urls, added_ts=now)
+        minted = graph.mint_node_ids(
+            self.nodes, new_urls, added_ts=now
+        ).localCheckpoint(eager=True)
         n_new = minted.count()
         if n_new:
             # incremental per-bucket filter maintenance: only buckets

@@ -397,6 +397,7 @@ def admit_new_urls(
     seen_exact: DataFrame,
     n_buckets: int = 64,
     filters_path: str | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """The admission gate (S2/J3, crawler.go:94-102 inverted: we keep
     the UNKNOWN urls for discovery; `resolveIDs` keeps unknowns too,
@@ -404,21 +405,32 @@ def admit_new_urls(
 
     definitely-new (bloom negative — no join at all) UNION
     (bloom positive, exactly verified new via left_anti). At scale the
-    anti-join probe side is only the positives (~seen + 1% FP)."""
-    # persist: both branches (negatives pass through, positives get
-    # exactly verified) read the probe; without it the whole upstream
-    # pipeline runs twice. The admitted result is materialized eagerly
-    # (localCheckpoint) so the probe cache can be released HERE —
-    # persisted blocks otherwise accumulate across a long crawl (one
-    # leak per epoch). Checkpoint blocks are GC-managed; persist pins.
+    anti-join probe side is only the positives (~seen + 1% FP).
+
+    `eager=True` (default): the probe is persisted across the two
+    branches and the admitted set is materialized (localCheckpoint) so
+    the cache can be released here — right for callers that consume
+    the result several times. `eager=False` returns the LAZY union
+    with NO persist/checkpoint: callers that consume it in exactly one
+    downstream action (the engine checkpoints the minted rows; the
+    bench counts once) skip a whole extra materialization, and
+    Catalyst's exchange reuse dedupes the probe's upstream shuffle
+    between the two branches within that one action."""
     probed = probe_seen(
         candidates, filters, n_buckets, filters_path=filters_path
-    ).persist()
+    )
+    if eager:
+        # persisted blocks otherwise accumulate across a long crawl
+        # (one leak per epoch). Checkpoint blocks are GC-managed;
+        # persist pins — so checkpoint the result, release the cache.
+        probed = probed.persist()
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     positives = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     verified_new = positives.join(seen_exact.select("url"), "url", "left_anti")
-    out = fresh.unionByName(verified_new).localCheckpoint(eager=True)
-    probed.unpersist()
+    out = fresh.unionByName(verified_new)
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        probed.unpersist()
     return out
 
 
