@@ -350,11 +350,15 @@ class CrawlEngine:
         if n_new:
             # incremental per-bucket filter maintenance: only buckets
             # that gained urls are rewritten (seen.update_seen_filters)
+            # same snapshot-path contract as the probe above: growing
+            # buckets read their previous blob executor-side — filter
+            # maintenance never round-trips blobs through the driver
             self.filters, touched = seen.update_seen_filters(
                 self.filters,
                 minted.select("url"),
                 self.nodes.select("url"),
                 self.n_buckets,
+                filters_path=fpath,
             )
             self._mark_dirty("_filters_dirty", touched)
             self._mark_dirty("_nodes_dirty", touched)

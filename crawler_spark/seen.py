@@ -273,8 +273,8 @@ _WORKER_FILTER_CACHE: dict[tuple[str, int], tuple[int, bytes] | None] = {}
 def _read_filter_bucket(path: str, bucket: int):
     """Executor-side blob fetch: read ONLY bucket=<b>'s partition of a
     committed filters snapshot with pyarrow (partition pruning by
-    directory). Returns (m_bits, bits) or None when the bucket has no
-    filter. Cached per worker process."""
+    directory). Returns (m_bits, bits, n_items) or None when the
+    bucket has no filter. Cached per worker process."""
     key = (path, bucket)
     if key in _WORKER_FILTER_CACHE:
         return _WORKER_FILTER_CACHE[key]
@@ -296,20 +296,26 @@ def _read_filter_bucket(path: str, bucket: int):
         # unpartitioned snapshot (bootstrap full write without
         # partition dirs): scan the flat files for the bucket row
         for f in sorted(_glob.glob(_os.path.join(path, "*.parquet"))):
-            t = _pq.read_table(f, columns=["bucket", "m_bits", "bits"])
+            t = _pq.read_table(f, columns=["bucket", "m_bits", "bits", "n_items"])
             d = t.to_pydict()
-            for bk, m, blob in zip(d["bucket"], d["m_bits"], d["bits"]):
+            for bk, m, blob, n in zip(
+                d["bucket"], d["m_bits"], d["bits"], d["n_items"]
+            ):
                 if int(bk) == bucket:
-                    ent = (int(m), bytes(blob))
+                    ent = (int(m), bytes(blob), int(n))
                     break
             if ent:
                 break
     else:
         for f in files:
-            t = _pq.read_table(f, columns=["m_bits", "bits"])
+            t = _pq.read_table(f, columns=["m_bits", "bits", "n_items"])
             if t.num_rows:
                 d = t.to_pydict()
-                ent = (int(d["m_bits"][0]), bytes(d["bits"][0]))
+                ent = (
+                    int(d["m_bits"][0]),
+                    bytes(d["bits"][0]),
+                    int(d["n_items"][0]),
+                )
                 break
     _WORKER_FILTER_CACHE[key] = ent
     return ent
@@ -381,7 +387,7 @@ def probe_seen(
                     ent = lookup(int(b))
                     if ent is None:
                         continue  # bucket with no filter: nothing seen
-                    filt = ctor(*ent)
+                    filt = ctor(*ent[:2])
                     cache[int(b)] = filt
                 maybe[grp.index.to_numpy()] = filt.contains(grp["url"])
             out = pdf[cols].copy()
@@ -440,7 +446,8 @@ def update_seen_filters(
     seen_exact: DataFrame,
     n_buckets: int = 64,
     bits_per_key: int = 10,
-) -> DataFrame:
+    filters_path: str | None = None,
+) -> tuple[DataFrame, set[int]]:
     """Incremental filter maintenance: only buckets that gained urls
     are touched (the 10^10 form — a full rebuild scans the whole seen
     set every epoch; this scans the delta plus resized buckets).
@@ -451,6 +458,17 @@ def update_seen_filters(
     otherwise the bucket is rebuilt at the right size from the exact
     seen set restricted to that bucket. Untouched buckets pass
     through byte-identical.
+
+    Blob delivery for the grow path mirrors probe_seen: with
+    `filters_path` (a committed snapshot directory) each growing
+    bucket's task reads its own previous blob EXECUTOR-SIDE via
+    `_read_filter_bucket` — the driver never holds or ships a blob
+    (at 10^10 urls a hot epoch touches many ~100s-MB buckets; the
+    driver round-trip was the last place maintenance put it back in
+    the data path). Without a path, blobs collect to the driver and
+    ship via broadcast (the small/standalone form). Only the tiny
+    (bucket, n_items, m_bits) metadata ever reaches the driver in
+    path mode.
 
     Returns (filters', touched_buckets) — the touched set feeds the
     catalog's bucket-level partial commit."""
@@ -479,15 +497,34 @@ def update_seen_filters(
     parts = [filters.filter(~F.col("bucket").isin(list(add_counts)))]
 
     if grow:
-        blob_map = {
-            int(r["bucket"]): (int(r["n_items"]), int(r["m_bits"]), bytes(r["bits"]))
-            for r in filters.filter(F.col("bucket").isin(grow)).collect()
-        }
-        bc = spark.sparkContext.broadcast(blob_map)
+        if filters_path is not None:
+            path = filters_path
+
+            def _blob_of(b: int):
+                ent = _read_filter_bucket(path, b)
+                if ent is None:
+                    raise ValueError(
+                        f"filters snapshot {path!r} lacks bucket {b} "
+                        "marked for growth — in-memory filters diverge "
+                        "from the committed snapshot"
+                    )
+                m_bits, blob, n_items = ent
+                return n_items, m_bits, blob
+        else:
+            blob_map = {
+                int(r["bucket"]): (
+                    int(r["n_items"]), int(r["m_bits"]), bytes(r["bits"])
+                )
+                for r in filters.filter(F.col("bucket").isin(grow)).collect()
+            }
+            bc = spark.sparkContext.broadcast(blob_map)
+
+            def _blob_of(b: int):
+                return bc.value[b]
 
         def grow_fn(pdf: pd.DataFrame) -> pd.DataFrame:
             b = int(pdf["bucket"].iloc[0])
-            n_items, m_bits, blob = bc.value[b]
+            n_items, m_bits, blob = _blob_of(b)
             f = BloomFilter.from_bytes(m_bits, blob)
             f.add(pdf["url"])
             return pd.DataFrame(

@@ -354,6 +354,51 @@ def test_incremental_filter_update(spark):
     assert admitted == oracle
 
 
+def test_incremental_filter_update_executor_side_path_mode(spark, tmp_path):
+    """filters_path maintenance: growing buckets read their previous
+    blob executor-side from the committed snapshot — bit-identical
+    output to the driver-broadcast form, and the driver never collects
+    a blob (poisoned DataFrame.collect on the blob column proves the
+    grow path goes through _read_filter_bucket)."""
+    base = [f"https://inc{i % 13}.test/p{i}" for i in range(2000)]
+    delta = [f"https://inc{i % 13}.test/p{i}" for i in range(2000, 2600)]
+    base_df = spark.createDataFrame([(u,) for u in base], "url string")
+    delta_df = spark.createDataFrame([(u,) for u in delta], "url string")
+    f0 = seen.build_seen_filters(base_df, n_buckets=8).persist()
+    cat = catalog.Catalog(str(tmp_path / "tables"))
+    snap = cat.write("filters", f0, epoch=1, partition_by=["bucket"])
+
+    f_drv, t_drv = seen.update_seen_filters(f0, delta_df, base_df, n_buckets=8)
+    committed = cat.read(spark, "filters").select(
+        F.col("bucket").cast("long"), "n_items", "m_bits", "bits"
+    )
+    # poison blob collection: any .collect() that materializes `bits`
+    # driver-side fails the test (metadata-only collects are fine)
+    import pyspark.sql.dataframe as _dfm
+
+    orig = _dfm.DataFrame.collect
+
+    def guarded(self):
+        assert "bits" not in self.columns, "driver collected filter blobs"
+        return orig(self)
+
+    _dfm.DataFrame.collect = guarded
+    try:
+        f_path, t_path = seen.update_seen_filters(
+            committed, delta_df, base_df, n_buckets=8,
+            filters_path=snap.path,
+        )
+        got = {r.bucket: (r.n_items, r.m_bits, bytes(r.bits))
+               for r in orig(f_path)}
+    finally:
+        _dfm.DataFrame.collect = orig
+    want = {r.bucket: (r.n_items, r.m_bits, bytes(r.bits))
+            for r in f_drv.collect()}
+    assert t_path == t_drv
+    assert got == want
+    f0.unpersist()
+
+
 def test_incremental_filter_resize_path(spark):
     """A delta that overflows a bucket's capacity triggers a rebuild
     of just that bucket at the right size (still no false negatives)."""
