@@ -22,14 +22,34 @@ This is the Spark re-expression of the reference's four goroutines
          kill the process anywhere; `CrawlEngine.resume()` restarts
          from the last committed epoch (north_rule).
 
-State tables (all catalog-committed): nodes, edges, walks, frontier,
-filters. The exact seen set is `nodes` itself (a url is "seen" once
-it has a node id, exactly like the reference's keyIndex membership);
-the bucketed bloom `filters` table is maintained INCREMENTALLY —
-only buckets that gained urls are rewritten per batch
+State tables (all catalog-committed): nodes, edges, walks, visits,
+frontier, filters. The exact seen set is `nodes` itself (a url is
+"seen" once it has a node id, exactly like the reference's keyIndex
+membership); the bucketed bloom `filters` table is maintained
+INCREMENTALLY — only buckets that gained urls are rewritten per batch
 (seen.update_seen_filters), which is what makes the approximate layer
 affordable at a 10^10 frontier where a full rebuild would rescan
 everything every epoch.
+
+The `visits` table is the MAINTAINED inverted walk index
+(node_id, walk_id) — the reference's walksVisiting:<id> sets, updated
+transactionally on every walk add/remove/prune-graft
+(pkg/store/redistore/store.go:337-358,393-411,442-465,
+docs/store_design.md:53-59). It is read far more than written: repair
+selection, graft sampling, arbiter visit counts, and many-source PPR
+all probe it instead of exploding the walk store's paths, and per
+delta batch the engine reads ONLY the delta nodes' bucket partitions
+of the committed snapshot (partition pruning). totalVisits and
+lastWalkID are tracked incrementally on the engine like the
+reference's RWS counters (store.go:129-145) — no per-epoch
+full-store aggregation anywhere in the loop.
+
+Commits are DELTA-COMPOSED for walks/visits/edges/nodes: the epoch
+registers (remove-keys, add-rows) pairs per table, and the commit
+rebuilds only the dirty buckets from the previous snapshot's pruned
+partitions plus those deltas — the logical full-table DataFrames are
+never scanned at commit time, so a delta batch commits in
+O(|dirty buckets| + |delta|), not O(|store|).
 """
 
 from __future__ import annotations
@@ -44,7 +64,15 @@ from . import graph, schemas, seen, walks_gen, walks_update
 from .catalog import Catalog
 from .functions.extract import extract_links, is_valid_url
 
-TABLES = ("nodes", "edges", "walks", "frontier", "metrics")
+TABLES = ("nodes", "edges", "walks", "visits", "frontier", "metrics")
+
+# anti-join keys for delta-composed partial commits, per table
+_PENDING_KEYS = {
+    "walks": ["walk_id"],
+    "visits": ["node_id", "walk_id"],
+    "edges": ["src", "dst"],
+    "nodes": ["node_id"],
+}
 
 
 class CrawlEngine:
@@ -75,6 +103,12 @@ class CrawlEngine:
         # broadcast-vs-iterative strategy choice never pays an
         # edges.count() action inside the epoch loop
         self.n_edges = 0
+        # the reference's RWS counters (store.go:17-25,129-145),
+        # maintained incrementally from the same delta rows that feed
+        # the visits index — the arbiter trigger and promotion id
+        # minting never launch a full-store aggregation
+        self.total_visits = 0
+        self.next_walk_id = 0
         # bucket-level commit tracking: None => full snapshot rewrite
         # (bootstrap / arbiter restructure); a set => only those
         # buckets are written, the rest hardlink from the previous
@@ -85,6 +119,10 @@ class CrawlEngine:
         self._walks_dirty: set[int] | None = None
         self._edges_dirty: set[int] | None = None
         self._filters_dirty: set[int] | None = None
+        self._visits_dirty: set[int] | None = None
+        # delta-composed commit inputs: table -> [(remove_df, add_df)]
+        # applied in order onto the previous snapshot's dirty buckets
+        self._pending: dict[str, list] = {}
         # nodes bucket by the SAME host-hash as the filters, so the
         # minted-url touched set drives both partial commits
         self._nodes_dirty: set[int] | None = None
@@ -94,6 +132,7 @@ class CrawlEngine:
         self.nodes: DataFrame | None = None
         self.edges: DataFrame | None = None
         self.walks: DataFrame | None = None
+        self.visits: DataFrame | None = None  # maintained inverted index
         self.frontier: DataFrame | None = None
         self.filters: DataFrame | None = None  # bucketed seen-set blooms
 
@@ -129,6 +168,7 @@ class CrawlEngine:
             seed=self.seed,
             strategy=self.walk_strategy,
         )
+        self.visits = walks_gen.visits_of(self.walks)
         self.frontier = frontier_mod.enqueue(
             None, self.nodes.select("url", "node_id"), now
         )
@@ -136,6 +176,10 @@ class CrawlEngine:
             self.nodes.select("url"), n_buckets=self.n_buckets
         )
         self.epoch = 0
+        # the one-time bootstrap scans that seed the incremental
+        # counters (every later epoch maintains them from deltas)
+        self.next_walk_id = walks_gen.next_walk_id(self.walks)
+        self.total_visits = walks_gen.total_visits(self.walks)
         self._commit(now, {"event": "bootstrap", "seeds": len(seed_urls)})
 
     def _load(self, name: str):
@@ -143,7 +187,7 @@ class CrawlEngine:
         bucket partition column the bucketed tables carry on disk."""
         df = self.cat.read(self.spark, name)
         if (
-            name in ("walks", "edges", "nodes", "frontier")
+            name in ("walks", "edges", "nodes", "frontier", "visits")
             and "bucket" in df.columns
         ):
             df = df.drop("bucket")
@@ -162,14 +206,32 @@ class CrawlEngine:
         self.walks = self._load("walks")
         self.frontier = self._load("frontier")
         self.filters = self._load("filters")
-        self.epoch = self.cat.current("nodes").epoch
-        # edge count from the manifest (metadata, no scan)
+        cur_nodes = self.cat.current("nodes")
+        self.epoch = cur_nodes.epoch
+        # counters from the manifest (metadata, no scan): |edges| and
+        # totalVisits are snapshot row counts; lastWalkID rides in the
+        # commit metrics (with a one-time scan fallback for snapshots
+        # written before the counter existed)
         self.n_edges = self.cat.current("edges").n_rows
+        try:
+            self.visits = self._load("visits")
+            self.total_visits = self.cat.current("visits").n_rows
+            self._visits_dirty = set()
+        except FileNotFoundError:
+            # pre-index snapshot: derive once and commit next epoch
+            self.visits = walks_gen.visits_of(self.walks)
+            self.total_visits = walks_gen.total_visits(self.walks)
+            self._visits_dirty = None  # full write on next commit
+        nid = cur_nodes.metrics.get("next_walk_id")
+        self.next_walk_id = (
+            int(nid) if nid is not None else walks_gen.next_walk_id(self.walks)
+        )
         self._walks_dirty = set()
         self._edges_dirty = set()
         self._filters_dirty = set()
         self._nodes_dirty = set()
         self._frontier_dirty = set()
+        self._pending = {}
 
     def _host_bucket(self):
         """Frontier bucket: hash of the host string (the politeness/
@@ -193,18 +255,36 @@ class CrawlEngine:
         if cur is not None:  # None already means full rewrite
             cur.update(int(b) for b in buckets)
 
+    def _pend(self, name: str, remove: DataFrame | None, add: DataFrame | None) -> None:
+        """Register a delta-composed commit input for `name`: at
+        commit time the dirty buckets are rebuilt from the previous
+        snapshot's pruned partitions anti-joined with `remove` (on the
+        table's key) and unioned with `add` — the logical full-table
+        DataFrame is never scanned. Callers pass delta-sized,
+        already-materialized frames."""
+        self._pending.setdefault(name, []).append((remove, add))
+
     def _commit(self, now: _dt.datetime, extra: dict | None = None) -> None:
-        """Snapshot every table. walks/edges/filters commit at BUCKET
-        granularity: only buckets the epoch touched are written, the
-        rest hardlink from the previous version (the Iceberg
-        overwrite-by-partition shape) — at a 10^12-row walk store this
-        is the difference between committing the delta and rewriting
-        100 TB per epoch."""
-        m = {"epoch": self.epoch, "walks_changed": self.walks_changed}
+        """Snapshot every table. walks/visits/edges/filters commit at
+        BUCKET granularity: only buckets the epoch touched are
+        written, the rest hardlink from the previous version (the
+        Iceberg overwrite-by-partition shape) — at a 10^12-row walk
+        store this is the difference between committing the delta and
+        rewriting 100 TB per epoch. Tables with registered pending
+        deltas compose the dirty buckets' content from the previous
+        snapshot (partition-pruned read) + the delta rows, so the
+        commit never evaluates the full logical state either."""
+        m = {
+            "epoch": self.epoch,
+            "walks_changed": self.walks_changed,
+            "total_visits": self.total_visits,
+            "next_walk_id": self.next_walk_id,
+        }
         if extra:
             m.update(extra)
         bucketed = {
             "walks": (self._bucket_of("walk_id"), self._walks_dirty),
+            "visits": (self._bucket_of("node_id"), self._visits_dirty),
             "edges": (self._bucket_of("src"), self._edges_dirty),
             "filters": (None, self._filters_dirty),
             "nodes": (
@@ -217,20 +297,51 @@ class CrawlEngine:
             ("nodes", self.nodes),
             ("edges", self.edges),
             ("walks", self.walks),
+            ("visits", self.visits),
             ("frontier", self.frontier),
             ("filters", self.filters),
         ):
             if name in bucketed:
                 expr, dirty = bucketed[name]
-                dfb = df.withColumn("bucket", expr) if expr is not None else df
-                if dirty is None or self.cat.current(name) is None:
+                partial = dirty is not None and self.cat.current(name) is not None
+                if partial and self._pending.get(name):
+                    base = self.cat.read(self.spark, name)
+                    part = base.filter(
+                        F.col("bucket").isin(sorted(dirty))
+                    ).drop("bucket")
+                    for rm, add in self._pending[name]:
+                        if rm is not None:
+                            # no forced broadcast: deltas are usually
+                            # tiny (AQE broadcasts them at runtime)
+                            # but a mass removal must not OOM the
+                            # driver
+                            part = part.join(
+                                rm, _PENDING_KEYS[name], "left_anti"
+                            )
+                        if add is not None:
+                            part = part.unionByName(add)
+                    dfb = part.withColumn("bucket", expr)
+                    snap = self.cat.write_partial(
+                        name, dfb, sorted(dirty), epoch=self.epoch, metrics=m
+                    )
+                elif partial:
+                    dfb = (
+                        df.withColumn("bucket", expr)
+                        if expr is not None
+                        else df
+                    )
+                    snap = self.cat.write_partial(
+                        name, dfb, sorted(dirty), epoch=self.epoch, metrics=m
+                    )
+                else:
+                    dfb = (
+                        df.withColumn("bucket", expr)
+                        if expr is not None
+                        else df
+                    )
                     snap = self.cat.write(
                         name, dfb, epoch=self.epoch,
                         partition_by=["bucket"], metrics=m,
-                    )
-                else:
-                    snap = self.cat.write_partial(
-                        name, dfb, sorted(dirty), epoch=self.epoch, metrics=m
                     )
             else:
                 snap = self.cat.write(name, df, epoch=self.epoch, metrics=m)
@@ -243,6 +354,8 @@ class CrawlEngine:
         self._filters_dirty = set()
         self._nodes_dirty = set()
         self._frontier_dirty = set()
+        self._visits_dirty = set()
+        self._pending = {}
 
     # ---- the epoch ----
 
@@ -323,6 +436,13 @@ class CrawlEngine:
                 self.nodes.select("url"), n_buckets=self.n_buckets
             )
             self._filters_dirty = None  # fresh build -> full snapshot
+        if self.visits is None:
+            # standalone caller without bootstrap/resume: derive the
+            # index + counters once (every later batch maintains them)
+            self.visits = walks_gen.visits_of(self.walks)
+            self._visits_dirty = None
+            self.total_visits = walks_gen.total_visits(self.walks)
+            self.next_walk_id = walks_gen.next_walk_id(self.walks)
         # when the in-memory filters match the committed snapshot
         # (the normal start-of-epoch state), probe EXECUTOR-SIDE from
         # the snapshot's bucket partitions — the driver never holds
@@ -396,17 +516,32 @@ class CrawlEngine:
         old_lists = (
             new_lists.select("node_id")
             .join(
-                graph.adjacency_lists(self.edges).withColumnRenamed(
-                    "src", "node_id"
-                ),
+                # restrict the adjacency agg to the batch's authors
+                # BEFORE grouping: a left_semi of the edge table
+                # against the (small) batch instead of grouping ALL
+                # edges and joining after (Catalyst won't push a join
+                # below an aggregate on its own)
+                graph.adjacency_lists(
+                    self.edges.join(
+                        new_lists.select(F.col("node_id").alias("src")),
+                        "src",
+                        "left_semi",
+                    )
+                ).withColumnRenamed("src", "node_id"),
                 "node_id",
                 "left",
             )
             .withColumnRenamed("follows", "old_follows")
         )
-        deltas = graph.delta_partition(
-            new_lists.join(old_lists, "node_id")
-        ).filter((F.size("removed") > 0) | (F.size("added") > 0))
+        # checkpointed once: the delta batch feeds five consumers
+        # (sizing agg, dirty buckets, edge MERGE, the repair's
+        # normalize collect, the pending edge delta) — without it each
+        # would re-run the extraction UDF chain over the batch
+        deltas = (
+            graph.delta_partition(new_lists.join(old_lists, "node_id"))
+            .filter((F.size("removed") > 0) | (F.size("added") > 0))
+            .localCheckpoint(eager=True)
+        )
         # one action sizes the delta batch AND maintains the edge
         # count (strategy choice) — no separate edges.count() ever
         drow = deltas.agg(
@@ -419,18 +554,30 @@ class CrawlEngine:
         stats = {"pages": latest.count(), "new_nodes": n_new, "deltas": n_deltas}
         if n_deltas:
             self.n_edges += int(drow["na"]) - int(drow["nr"])
-            self._mark_dirty(
-                "_edges_dirty",
-                (
-                    r["b"]
-                    for r in deltas.select(
-                        self._bucket_of("node_id").alias("b")
-                    )
-                    .distinct()
-                    .collect()
+            delta_buckets = sorted(
+                int(r["b"])
+                for r in deltas.select(self._bucket_of("node_id").alias("b"))
+                .distinct()
+                .collect()
+            )
+            self._mark_dirty("_edges_dirty", delta_buckets)
+            self._pend(
+                "edges",
+                deltas.select(
+                    F.col("node_id").alias("src"),
+                    F.explode("removed").alias("dst"),
+                ),
+                deltas.select(
+                    F.col("node_id").alias("src"),
+                    F.explode("added").alias("dst"),
                 ),
             )
             self.edges = graph.apply_deltas(self.edges, deltas)
+            # repair selection + graft sampling probe the MAINTAINED
+            # visits index, reading only the delta nodes' bucket
+            # partitions of the committed snapshot — never the store's
+            # paths (the reference's walksVisiting reads,
+            # update.go:80-89)
             repaired = walks_update.update_walks(
                 spark,
                 self.walks,
@@ -440,25 +587,79 @@ class CrawlEngine:
                 seed=self.seed,
                 epoch=self.epoch,
                 strategy=self.walk_strategy,
+                visits=self._visits_index(delta_buckets),
             )
-            # one action: per-bucket updated counts feed BOTH the
-            # change counter and the walks partial-commit dirty set
+            # the updated rows (with old_path) materialize once and
+            # feed everything delta-shaped below
+            upd = repaired.filter(F.col("updated")).localCheckpoint(eager=True)
             up_rows = (
-                repaired.filter("updated")
-                .groupBy(self._bucket_of("walk_id").alias("b"))
+                upd.groupBy(self._bucket_of("walk_id").alias("b"))
                 .count()
                 .collect()
             )
             n_up = sum(int(r["count"]) for r in up_rows)
             self._mark_dirty("_walks_dirty", (r["b"] for r in up_rows))
+            self._pend(
+                "walks",
+                upd.select("walk_id"),
+                upd.select("walk_id", "start_id", "path"),
+            )
+            # visits index + totalVisits maintenance from the repair
+            # delta (store.go:337-358,442-465 semantics): one action
+            # yields dirty node buckets AND the counter delta
+            vis_rm, vis_add = walks_update.visit_deltas(upd)
+            vrows = (
+                vis_rm.select("node_id", F.lit(-1).alias("d"))
+                .unionByName(vis_add.select("node_id", F.lit(1).alias("d")))
+                .groupBy(self._bucket_of("node_id").alias("b"))
+                .agg(F.sum("d").alias("s"))
+                .collect()
+            )
+            self._mark_dirty("_visits_dirty", (r["b"] for r in vrows))
+            self.total_visits += sum(int(r["s"]) for r in vrows)
+            self._pend(
+                "visits",
+                vis_rm.select("node_id", "walk_id"),
+                vis_add.select("node_id", "walk_id"),
+            )
+            # no broadcast hint: a mass delta can make vis_rm
+            # unbounded; AQE picks broadcast at runtime for the
+            # (typical) delta-sized case
+            self.visits = self.visits.join(
+                vis_rm, ["node_id", "walk_id"], "left_anti"
+            ).unionByName(vis_add.select("node_id", "walk_id"))
             self.walks = walks_update.finish_update(repaired)
             self.walks_changed += n_up
             stats["walks_updated"] = n_up
         return stats
 
+    def _visits_index(self, node_buckets) -> DataFrame:
+        """The (node_id, walk_id) inverted index restricted to the
+        given node buckets: a PARTITION-PRUNED read of the committed
+        snapshot when the in-memory index matches it (the
+        start-of-epoch state), else the in-memory index (operators
+        filter it themselves). The pruned form is what makes repair
+        selection O(|delta buckets|) instead of O(|index|)."""
+        cur = self.cat.current("visits")
+        if (
+            self._visits_dirty is not None
+            and not self._visits_dirty
+            and not self._pending.get("visits")
+            and cur is not None
+        ):
+            base = self.spark.read.parquet(cur.path)
+            if "bucket" in base.columns:
+                return base.filter(
+                    F.col("bucket").isin(sorted(int(b) for b in node_buckets))
+                ).select("node_id", "walk_id")
+        return self.visits
+
     def maybe_arbiter(self, now: _dt.datetime) -> dict:
-        """A8 trigger + M11 scan (arbiter.go:55-81)."""
-        total = walks_gen.total_visits(self.walks)
+        """A8 trigger + M11 scan (arbiter.go:55-81). The trigger reads
+        the incrementally-maintained totalVisits counter (the
+        reference's RWS hash field) — no per-epoch store scan; the
+        scan itself derives visit counts from the maintained index."""
+        total = self.total_visits
         ratio = frontier_mod.change_ratio(self.walks_changed, total, self.alpha)
         if ratio < schemas.ARBITER_ACTIVATION_THRESHOLD:
             return {"arbiter": 0, "change_ratio": ratio}
@@ -468,28 +669,105 @@ class CrawlEngine:
             now,
             walks_per_node=self.wpn,
             promotion_wait_s=self.promotion_wait_s,
+            visits=self.visits,
         )
-        self.nodes, self.walks, promoted, cnts = frontier_mod.apply_arbiter(
-            self.spark,
-            self.nodes,
-            self.walks,
-            self.edges,
-            decisions,
-            now,
-            alpha=self.alpha,
-            walks_per_node=self.wpn,
-            seed=self.seed,
-            strategy=self.walk_strategy,
+        self.nodes, self.walks, promoted, cnts, delta = (
+            frontier_mod.apply_arbiter(
+                self.spark,
+                self.nodes,
+                self.walks,
+                self.edges,
+                decisions,
+                now,
+                alpha=self.alpha,
+                walks_per_node=self.wpn,
+                seed=self.seed,
+                strategy=self.walk_strategy,
+                walk_id_offset=self.next_walk_id,
+                node_bucket_expr=seen.url_bucket(
+                    F.col("url"), self.n_buckets
+                ),
+            )
         )
         n_promoted = cnts.get("promote", 0)
         if n_promoted or cnts.get("demote", 0):
-            # promotions add walks / demotions drop them, and status
-            # flips touch nodes, across arbitrary buckets — an
-            # arbiter RESTRUCTURE commits walks and nodes in full
-            # (rare: change-ratio-gated AND something actually
-            # flipped; a no-op pass stays on partial commits)
-            self._walks_dirty = None
-            self._nodes_dirty = None
+            # BUCKET-SCOPED arbiter commit: the touched buckets are
+            # computable — flipped nodes' url buckets, removed walks'
+            # id buckets, generated walks' id buckets, and both sides'
+            # exploded node buckets for the visits index. Each delta
+            # set is checkpointed (delta-sized) and registered for the
+            # delta-composed partial commit; untouched buckets
+            # hardlink as in every other epoch.
+            removed = delta["removed_walks"]
+            added = delta["added_walks"]
+            if removed is not None:
+                removed = removed.localCheckpoint(eager=True)
+            if added is not None:
+                added = added.localCheckpoint(eager=True)
+            flipped_new = delta["flipped_new"].localCheckpoint(eager=True)
+            flipped_ids = (
+                delta["flipped_old"]
+                .select("node_id")
+                .localCheckpoint(eager=True)
+            )
+            self._mark_dirty("_nodes_dirty", delta["node_buckets"] or [])
+            self._pend("nodes", flipped_ids, flipped_new)
+            for wdf, sign in ((removed, -1), (added, 1)):
+                if wdf is None:
+                    continue
+                rows = (
+                    wdf.groupBy(self._bucket_of("walk_id").alias("b"))
+                    .agg(
+                        F.sum(F.size("path")).alias("v"),
+                        F.max("walk_id").alias("mx"),
+                    )
+                    .collect()
+                )
+                self._mark_dirty("_walks_dirty", (r["b"] for r in rows))
+                self.total_visits += sign * sum(int(r["v"] or 0) for r in rows)
+                if sign > 0 and rows:
+                    self.next_walk_id = max(
+                        self.next_walk_id,
+                        max(int(r["mx"]) for r in rows) + 1,
+                    )
+            self._pend(
+                "walks",
+                removed.select("walk_id") if removed is not None else None,
+                added,
+            )
+            vis_rm = (
+                removed.select("walk_id", F.explode("path").alias("node_id"))
+                if removed is not None
+                else None
+            )
+            vis_add = (
+                added.select("walk_id", F.explode("path").alias("node_id"))
+                if added is not None
+                else None
+            )
+            vparts = [
+                x.select(self._bucket_of("node_id").alias("b"))
+                for x in (vis_rm, vis_add)
+                if x is not None
+            ]
+            vb = vparts[0]
+            for p in vparts[1:]:
+                vb = vb.unionByName(p)
+            self._mark_dirty(
+                "_visits_dirty",
+                (r["b"] for r in vb.distinct().collect()),
+            )
+            self._pend(
+                "visits",
+                vis_rm.select("node_id", "walk_id") if vis_rm is not None else None,
+                vis_add.select("node_id", "walk_id") if vis_add is not None else None,
+            )
+            v = self.visits
+            if vis_rm is not None:
+                v = v.join(vis_rm, ["node_id", "walk_id"], "left_anti")
+            if vis_add is not None:
+                v = v.unionByName(vis_add.select("node_id", "walk_id"))
+            self.visits = v
         if n_promoted:
             self.frontier = frontier_mod.enqueue(
                 self.frontier, promoted.select("url", "node_id"), now

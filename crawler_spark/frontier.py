@@ -180,6 +180,7 @@ def arbiter_decisions(
     promotion_multiplier: float = schemas.ARBITER_PROMOTION_MULTIPLIER,
     demotion_multiplier: float = schemas.ARBITER_DEMOTION_MULTIPLIER,
     promotion_wait_s: float = schemas.ARBITER_PROMOTION_WAIT_S,
+    visits: DataFrame | None = None,
 ) -> DataFrame:
     """One scan pass (arbiter.go:84-189): nodes ⋈ visit counts ->
     'promote' | 'demote' | 'keep'.
@@ -187,11 +188,20 @@ def arbiter_decisions(
     shouldDemote (arbiter.go:166-174): active ∧ visits <
     round(demotion_multiplier*wpn). shouldPromote (:176-189): inactive
     ∧ added_ts older than the wait period ∧ visits >=
-    round(promotion_multiplier*wpn)."""
+    round(promotion_multiplier*wpn).
+
+    With a maintained `visits` index (node_id, walk_id) the counts
+    come from ONE narrow-table agg (the reference reads its
+    walksVisiting SCards, store.go:169-194); without one they derive
+    from exploding the walk store's paths."""
     demote_thr = int(demotion_multiplier * walks_per_node + 0.5)
     promote_thr = int(promotion_multiplier * walks_per_node + 0.5)
     cutoff = now - _dt.timedelta(seconds=promotion_wait_s)
-    vc = visit_counts(walks)
+    vc = (
+        visits.groupBy("node_id").agg(F.count("*").alias("visits"))
+        if visits is not None
+        else visit_counts(walks)
+    )
     return (
         nodes.join(vc, "node_id", "left")
         .withColumn("visits", F.coalesce("visits", F.lit(0)))
@@ -224,9 +234,11 @@ def apply_arbiter(
     walks_per_node: int = schemas.DEFAULT_WALKS_PER_NODE,
     seed: int = 42,
     strategy: str = "auto",
-) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
+    walk_id_offset: int | None = None,
+    node_bucket_expr=None,
+) -> tuple[DataFrame, DataFrame, DataFrame, dict, dict]:
     """Bulk PromoteNode/DemoteNode (arbiter.go:192-228): returns
-    (nodes', walks', promoted nodes, decision counts). Promotion
+    (nodes', walks', promoted nodes, decision counts, delta). Promotion
     generates walks_per_node walks per promoted node in ONE job (vs
     the reference's per-node loop); demotion drops walks originating
     at demoted nodes in one anti-join.
@@ -235,19 +247,60 @@ def apply_arbiter(
     limit(1).count() probes plus the caller's promoted.count() were
     three needless job launches per arbiter pass in the epoch loop);
     the counts let the engine skip full-table commits when a pass
-    flips nothing."""
+    flips nothing. With `node_bucket_expr` (a column expr over the
+    node rows) the same action also yields `delta['node_buckets']` —
+    the url buckets of flipped nodes, feeding bucket-scoped commits.
+
+    `walk_id_offset`: the engine tracks lastWalkID incrementally (the
+    reference's RWS counter, store.go:331-340); when absent it is
+    recomputed with a max() scan of the store.
+
+    `delta` carries the change sets a maintained visits index /
+    bucket-scoped commit needs: `removed_walks` (full rows of walks
+    dropped by demotion), `added_walks` (the generated rows), and the
+    flipped node rows before/after (`flipped_old`/`flipped_new`)."""
     promoted = decisions.filter(F.col("decision") == "promote").select(
         "node_id", "url"
     )
     demoted = decisions.filter(F.col("decision") == "demote").select("node_id")
-    cnts = {
-        r["decision"]: int(r["n"])
-        for r in decisions.groupBy("decision").agg(F.count("*").alias("n")).collect()
-    }
+    if node_bucket_expr is not None:
+        rows = (
+            decisions.groupBy("decision")
+            .agg(
+                F.count("*").alias("n"),
+                F.collect_set(node_bucket_expr.cast("int")).alias("bs"),
+            )
+            .collect()
+        )
+        cnts = {r["decision"]: int(r["n"]) for r in rows}
+        node_buckets = sorted(
+            {int(b) for r in rows if r["decision"] != "keep" for b in r["bs"]}
+        )
+    else:
+        rows = decisions.groupBy("decision").agg(F.count("*").alias("n")).collect()
+        cnts = {r["decision"]: int(r["n"]) for r in rows}
+        node_buckets = None
     n_promoted = cnts.get("promote", 0)
+    delta: dict = {
+        "removed_walks": None,
+        "added_walks": None,
+        "flipped_old": None,
+        "flipped_new": None,
+        "node_buckets": node_buckets,
+    }
 
     new_walks = walks
     if cnts.get("demote", 0):
+        # full rows of the dropped walks (start_id is the walk's
+        # origin by construction): the caller's visits delta and
+        # dirty-bucket sets derive from them without re-scanning
+        delta["removed_walks"] = walks.join(
+            demoted.select(F.col("node_id").alias("start_id")).hint(
+                "broadcast"
+            ),
+            "start_id",
+            "left_semi",
+        ).select("walk_id", "start_id", "path")
         new_walks = remove_walks_starting_at(new_walks, demoted)
     if n_promoted:
         gen = generate_walks(
@@ -257,12 +310,18 @@ def apply_arbiter(
             alpha=alpha,
             walks_per_node=walks_per_node,
             seed=seed,
-            walk_id_offset=next_walk_id(walks),
+            walk_id_offset=(
+                walk_id_offset
+                if walk_id_offset is not None
+                else next_walk_id(walks)
+            ),
             strategy=strategy,
         )
+        delta["added_walks"] = gen
         new_walks = new_walks.unionByName(gen)
 
     ts = F.lit(now).cast("timestamp")
+    node_cols = nodes.columns
     new_nodes = (
         nodes.join(
             decisions.select("node_id", "decision"), "node_id", "left"
@@ -285,7 +344,26 @@ def apply_arbiter(
         )
         .drop("decision")
     )
-    return new_nodes, new_walks, promoted, cnts
+    if cnts.get("promote", 0) or cnts.get("demote", 0):
+        flipped = decisions.filter(F.col("decision") != "keep")
+        delta["flipped_old"] = flipped.select(*node_cols)
+        delta["flipped_new"] = (
+            flipped.select(
+                *[c for c in node_cols if c not in
+                  ("status", "promoted_ts", "demoted_ts")],
+                F.when(
+                    F.col("decision") == "promote",
+                    F.lit(schemas.STATUS_ACTIVE),
+                ).otherwise(F.lit(schemas.STATUS_INACTIVE)).alias("status"),
+                F.when(F.col("decision") == "promote", ts)
+                .otherwise(F.col("promoted_ts"))
+                .alias("promoted_ts"),
+                F.when(F.col("decision") == "demote", ts)
+                .otherwise(F.col("demoted_ts"))
+                .alias("demoted_ts"),
+            ).select(*node_cols)  # restore declared column order
+        )
+    return new_nodes, new_walks, promoted, cnts, delta
 
 
 def change_ratio(walks_changed: int, total_visits_: int, alpha: float) -> float:

@@ -90,6 +90,13 @@ _CUT_SCHEMA = StructType(
         StructField("updated", BooleanType()),
         StructField("seg_key", LongType()),  # null => no segment to grow
         StructField("seg_start", LongType()),
+        # original path, emitted ONLY for updated walks: the caller's
+        # visits-index delta (old minus new / new minus old) and the
+        # incremental totalVisits counter both derive from it without
+        # ever re-reading the store (reference maintains walksVisiting
+        # + totalVisits transactionally per prune/graft,
+        # pkg/store/redistore/store.go:337-358,442-465)
+        StructField("old_path", ArrayType(LongType())),
     ]
 )
 
@@ -209,8 +216,10 @@ def _cut_phase(
             seg_start = np.full(n, -1, dtype=np.int64)
             has_seg = np.zeros(n, dtype=bool)
 
+            old_paths: list[list[int] | None] = [None] * n
             for i, (p, graft) in enumerate(zip(pdf["path"], pdf["graft_node"])):
                 p = [int(x) for x in p]
+                orig = p
                 # --- phase 1: removed-edge repair at the first
                 # invalid step across all deltas (update.go:210-220)
                 pending: tuple[list[int], int] | None = None
@@ -240,6 +249,8 @@ def _cut_phase(
                             else None
                         )
                 prefixes[i] = p
+                if updated[i]:
+                    old_paths[i] = orig
                 # first regrow step: uniform over the candidate set
                 # (WalkStep); cycle vs the prefix => empty segment
                 if pending is not None and pending[0]:
@@ -266,6 +277,7 @@ def _cut_phase(
                         [int(s) if h else None for s, h in zip(seg_start, has_seg)],
                         dtype="Int64",
                     ),
+                    "old_path": old_paths,
                 }
             )
             yield out
@@ -354,8 +366,10 @@ def update_walks(
         n: (ad, len(co) + len(ad)) for n, _, co, ad in dl if ad
     }
     if not removed_map and not added_map:
-        return walks.select("walk_id", "start_id", "path").withColumn(
-            "updated", F.lit(False)
+        return (
+            walks.select("walk_id", "start_id", "path")
+            .withColumn("updated", F.lit(False))
+            .withColumn("old_path", F.lit(None).cast("array<long>"))
         )
 
     if added_map:
@@ -417,6 +431,7 @@ def update_walks(
         state.filter(~aff_cond)
         .select("walk_id", "start_id", "path")
         .withColumn("updated", F.lit(False))
+        .withColumn("old_path", F.lit(None).cast("array<long>"))
     )
 
     # --- cut phase over affected walks only (delta maps, no CSR).
@@ -427,7 +442,8 @@ def update_walks(
         affected, removed_map, common_map, added_map, alpha, seed, epoch
     ).localCheckpoint(eager=True)
     no_seg = cut.filter(F.col("seg_key").isNull()).select(
-        "walk_id", "start_id", F.col("prefix").alias("path"), "updated"
+        "walk_id", "start_id", F.col("prefix").alias("path"), "updated",
+        "old_path",
     )
     seg_rows = cut.filter(F.col("seg_key").isNotNull())
 
@@ -471,9 +487,29 @@ def update_walks(
             ),
         ).alias("path"),
         "updated",
+        "old_path",
     )
 
     return untouched.unionByName(no_seg).unionByName(stitched)
+
+
+def visit_deltas(repaired: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(removed, added) inverted-index rows implied by a repair output
+    — both (walk_id, node_id), delta-sized, computed from the carried
+    `old_path` with NO store read. Because paths never repeat a node
+    (cycle-break invariant, generate.go:129-134), array_except equals
+    the set difference and `|added| - |removed|` equals the
+    totalVisits delta (store.go:129-145 counter semantics)."""
+    upd = repaired.filter(F.col("updated"))
+    removed = upd.select(
+        "walk_id",
+        F.explode(F.array_except("old_path", "path")).alias("node_id"),
+    )
+    added = upd.select(
+        "walk_id",
+        F.explode(F.array_except("path", "old_path")).alias("node_id"),
+    )
+    return removed, added
 
 
 def updated_count(repaired: DataFrame) -> int:

@@ -217,7 +217,7 @@ def test_apply_arbiter_flips_and_walks(spark):
         walks_per_node=20, seed=42,
     ).localCheckpoint()
     dec = frontier.arbiter_decisions(nodes, walks, NOW, walks_per_node=20)
-    n2, w2, promoted, cnts = frontier.apply_arbiter(
+    n2, w2, promoted, cnts, _delta = frontier.apply_arbiter(
         spark, nodes, walks, edges, dec, NOW, walks_per_node=20, seed=42
     )
     # node1 gets promoted (visited by others' walks), gains 20 walks
