@@ -45,7 +45,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import rng
@@ -279,6 +279,57 @@ def personalized_pagerank(
     )
 
 
+def per_source_walk_sample(
+    edges: DataFrame,
+    walks: DataFrame,
+    sources: DataFrame,
+    limit: int,
+    seed: int = 42,
+    visits: DataFrame | None = None,
+) -> DataFrame:
+    """Bounded per-source walk sample (source_id, walk_id, path) for
+    the many-source stitch — W5's even sampling applied BEFORE the
+    stitch shuffle (reference store.go:243-288): each source keeps at
+    most `limit` walks, chosen by the same deterministic xxhash64
+    order the single-source sampler uses. The cap runs on the NARROW
+    (source_id, walk_id) pairs and the heavy path arrays are only
+    joined in for survivors — a hot source (celebrity node visited by
+    ~every walk) ships ≤ limit paths to its stitch task instead of
+    ~the whole store."""
+    src_follow = (
+        sources.select(F.col("node_id").alias("source_id"))
+        .join(edges, F.col("source_id") == F.col("src"), "left")
+        .select("source_id", F.col("dst").alias("member"))
+    )
+    # neighborhood membership: follows + the source itself
+    members = src_follow.unionByName(
+        sources.select(
+            F.col("node_id").alias("source_id"),
+            F.col("node_id").alias("member"),
+        )
+    ).where(F.col("member").isNotNull()).distinct()
+
+    if visits is not None:
+        hits = members.join(
+            visits.select(F.col("node_id").alias("member"), "walk_id"),
+            "member",
+        ).select("source_id", "walk_id").distinct()
+    else:
+        hits = members.join(
+            walks.select(F.explode("path").alias("member"), "walk_id"),
+            "member",
+        ).select("source_id", "walk_id").distinct()
+    w = Window.partitionBy("source_id").orderBy(
+        F.xxhash64(F.lit(seed), "walk_id"), "walk_id"
+    )
+    capped = (
+        hits.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= limit)
+        .drop("_rn")
+    )
+    return capped.join(walks.select("walk_id", "path"), "walk_id")
+
+
 def personalized_pagerank_many(
     spark: SparkSession,
     edges: DataFrame,
@@ -302,36 +353,9 @@ def personalized_pagerank_many(
     Sources are independent — this scales linearly with executors."""
     target = required_length(top_k, alpha)
     limit = walks_needed(target, alpha)
-
-    src_follow = (
-        sources.select(F.col("node_id").alias("source_id"))
-        .join(edges, F.col("source_id") == F.col("src"), "left")
-        .select("source_id", F.col("dst").alias("member"))
-    )
-    # neighborhood membership: follows + the source itself
-    members = src_follow.unionByName(
-        sources.select(
-            F.col("node_id").alias("source_id"),
-            F.col("node_id").alias("member"),
-        )
-    ).where(F.col("member").isNotNull()).distinct()
-
-    if visits is not None:
-        hits = members.join(
-            visits.select(F.col("node_id").alias("member"), "walk_id"),
-            "member",
-        ).select("source_id", "walk_id").distinct()
-        v = hits.join(walks.select("walk_id", "path"), "walk_id")
-    else:
-        v = members.join(
-            walks.select(F.explode("path").alias("member"), "walk_id", "path"),
-            "member",
-        )
-    per_source_walks = (
-        v.select("source_id", "walk_id", "path")
-        .distinct()
-        .localCheckpoint(eager=True)  # read twice: roots + stitch
-    )
+    per_source_walks = per_source_walk_sample(
+        edges, walks, sources, limit, seed=seed, visits=visits
+    ).localCheckpoint(eager=True)  # read twice: roots + stitch
     roots = (
         per_source_walks.select(F.explode("path").alias("node_id"))
         .unionByName(sources.select("node_id"))
@@ -350,14 +374,9 @@ def personalized_pagerank_many(
             return pd.DataFrame(
                 {"source_id": [src], "node_id": [src], "rank": [1.0]}
             )
+        # input is pre-capped at `limit` rows per source (the window
+        # above) — deterministic cache order regardless of partitioning
         pdf = pdf.sort_values("walk_id")
-        # even per-node sampling happens implicitly: cap the cache at
-        # `limit` walks in deterministic hash order (W5's role)
-        if len(pdf) > limit:
-            order = np.argsort(
-                rng.hash64(seed, pdf["walk_id"].to_numpy(np.int64))
-            )
-            pdf = pdf.iloc[order[:limit]].sort_values("walk_id")
         cached = [[int(x) for x in p] for p in pdf["path"]]
         all_walk = _stitch(src, target, alpha, seed, cached, local)
         res = _count_normalize(all_walk)

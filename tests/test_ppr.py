@@ -79,6 +79,43 @@ def test_many_source_visits_index_equality(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_many_source_sample_capped_pre_shuffle(spark):
+    """The stitch input is capped at `limit` walks PER SOURCE before
+    the group shuffle (W5's even sampling, reference
+    store.go:243-288): a hot source visited by ~every walk must not
+    receive the whole store at its stitch task, and the maintained
+    visits index must select the identical sample."""
+    # star: every spoke points at node 0 -> node 0 is visited by all
+    follows = {i: [0] for i in range(1, 30)}
+    follows[0] = [1]
+    edges = spark.createDataFrame(
+        [(s, d) for s, ds in follows.items() for d in ds], "src long, dst long"
+    )
+    starts = spark.createDataFrame(
+        [(i,) for i in sorted(follows)], "node_id long"
+    )
+    walks = walks_gen.generate_walks(
+        spark, edges, starts, walks_per_node=40, seed=7, strategy="broadcast"
+    ).localCheckpoint()
+    n_visiting_hot = walks.filter(
+        F.array_contains("path", 0)
+    ).count()
+    limit = 9
+    assert n_visiting_hot > limit  # the cap is actually exercised
+    sample = ppr.per_source_walk_sample(edges, walks, starts, limit, seed=7)
+    per_src = sample.groupBy("source_id").count().collect()
+    assert max(int(r["count"]) for r in per_src) <= limit
+    assert {int(r["source_id"]) for r in per_src} == set(follows)
+    # the maintained index path picks the same deterministic sample
+    idx_sample = ppr.per_source_walk_sample(
+        edges, walks, starts, limit, seed=7,
+        visits=walks_gen.visits_of(walks),
+    )
+    assert sorted(
+        (r.source_id, r.walk_id) for r in sample.collect()
+    ) == sorted((r.source_id, r.walk_id) for r in idx_sample.collect())
+
+
 def test_neighborhood_csr_is_bounded(spark, monkeypatch):
     """The stitcher's adjacency is the BFS closure of the sampled
     neighborhood (FollowCache contract, pkg/pagerank/cache.go:11-62)
