@@ -165,6 +165,80 @@ def polite_gate_stream(
     )
 
 
+CANDIDATES = "url string, priority double, warc_ts timestamp"
+
+
+def stream_candidates(
+    spark: SparkSession,
+    candidates_dir: str,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Streaming source over frontier-candidate parquet files
+    (url, priority, warc_ts); host derived from the url. One file per
+    scheduler tick is the deterministic replay shape."""
+    reader = spark.readStream.schema(CANDIDATES)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(candidates_dir).withColumn(
+        "host", url_host(F.col("url"))
+    )
+
+
+def run_crawl_stream(
+    engine: CrawlEngine,
+    candidates_dir: str,
+    web: DataFrame,
+    checkpoint_dir: str,
+    crawl_delay_s: float = 1.0,
+    burst_cap: float = 4.0,
+    now: _dt.datetime | None = None,
+    available_now: bool = True,
+):
+    """The streaming form of run_epoch's schedule -> fetch -> process
+    loop, with the STATEFUL polite gate as the scheduler — politeness
+    parity with `frontier.schedule_batch` (the reference's
+    bounded-channel scheduler feeding the fetch workers,
+    cmd/crawler.go:101-133 + pkg/crawler/crawler.go:135-184).
+
+    Candidates stream in (one parquet file per tick is the replay
+    shape); `polite_gate_stream` admits per-host token-budget winners
+    and defers the rest in state; each admitted micro-batch is
+    fetched against `web` (the pages corpus) and flows through the
+    full process pipeline with a catalog snapshot per batch.
+
+    Parity contract (gated in tests): with tick_seconds ==
+    crawl_delay_s and burst_cap == 1, each tick admits exactly the
+    urls `schedule_batch` would fetch for the same arrivals (per-host
+    budget 1, (priority DESC, url) order, losers wait). Divergence to
+    know about: the gate only re-examines a host when new candidates
+    for it arrive (NoTimeout state) — exactly the reference's channel
+    semantics where a host's queue drains on poll, not on a clock.
+
+    Returns the StreamingQuery."""
+    admitted = polite_gate_stream(
+        stream_candidates(engine.spark, candidates_dir),
+        crawl_delay_s=crawl_delay_s,
+        burst_cap=burst_cap,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        fetched = web.join(batch_df.select("url"), "url", "left_semi")
+        ts = now or _dt.datetime.now(_dt.timezone.utc)
+        engine.epoch += 1
+        stats = engine.process_pages(fetched, ts)
+        stats["stream_batch_id"] = batch_id
+        engine._commit(ts, stats)
+
+    writer = (
+        admitted.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_ingest_stream(
     engine: CrawlEngine,
     pages_dir: str,

@@ -127,6 +127,119 @@ def test_polite_gate_stateful_stream(spark, tmp_path):
         }, urls
 
 
+def test_stream_schedule_matches_batch_scheduler(spark, tmp_path):
+    """Politeness parity (reference: the bounded-channel scheduler,
+    cmd/crawler.go:101-133): over identical candidate replays — one
+    parquet file per tick, every host represented each tick — the
+    stateful stream gate admits EXACTLY the urls schedule_batch
+    fetches, tick by tick, under matched budgets (tick_seconds ==
+    crawl_delay_s -> per-host budget 1, burst_cap 1, no global cap)."""
+    import pandas as pd
+
+    from crawler_spark import frontier as frontier_mod
+
+    hosts = [f"node{i}.test" for i in range(5)]
+    ticks = [NOW + dt.timedelta(seconds=60 * t) for t in range(3)]
+    rows = []
+    for t, ts in enumerate(ticks):
+        for h in hosts:
+            for i in range(2):  # 2 new urls per host per tick
+                rows.append(
+                    {
+                        "url": f"https://{h}/t{t}u{i}",
+                        "priority": float(10 * t + i + hash(h) % 3),
+                        "warc_ts": ts.replace(tzinfo=None),
+                        "tick": t,
+                    }
+                )
+    pdf = pd.DataFrame(rows)
+    src_dir = str(tmp_path / "cand_parity")
+    for t in range(3):
+        spark.createDataFrame(
+            pdf[pdf["tick"] == t].drop(columns=["tick"])
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    # --- stream side: one micro-batch per tick file
+    out = streaming.polite_gate_stream(
+        streaming.stream_candidates(spark, src_dir),
+        crawl_delay_s=60.0,
+        burst_cap=1.0,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sched_parity")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_parity"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from sched_parity").collect()
+    stream_by_tick: dict[float, set] = {}
+    for r in got:
+        stream_by_tick.setdefault(float(r.admitted_ts), set()).add(r.url)
+
+    # --- batch side: enqueue each tick's arrivals, schedule one tick
+    frontier = None
+    batch_by_tick = []
+    for t, ts in enumerate(ticks):
+        cand_t = spark.createDataFrame(
+            pdf[pdf["tick"] == t][["url", "priority"]]
+        )
+        frontier = frontier_mod.enqueue(frontier, cand_t, ts)
+        batch, frontier = frontier_mod.schedule_batch(
+            frontier, None, ts, tick_seconds=60.0, batch_size=10**6,
+            default_crawl_delay_s=60.0,
+        )
+        batch_by_tick.append({r.url for r in batch.select("url").collect()})
+
+    assert len(stream_by_tick) == len(ticks)
+    for ts, want in zip(ticks, batch_by_tick):
+        assert stream_by_tick[ts.timestamp()] == want, ts
+
+
+def test_run_crawl_stream_end_to_end(spark, tmp_path):
+    """The gated crawl stream: admitted urls are fetched from the web
+    corpus and flow through the full process pipeline with a commit
+    per micro-batch — per-host politeness holds (1 admission per host
+    per tick at matched budgets) and discovery happens."""
+    import pandas as pd
+
+    follows = {i: sorted({(i + 1) % 8, (i + 3) % 8} - {i}) for i in range(8)}
+    web = datagen.pages_df(spark, follows)
+    urls = [datagen.node_url(i) for i in range(8)]
+
+    cand_dir = str(tmp_path / "cand_e2e")
+    ticks = [NOW + dt.timedelta(seconds=60 * t) for t in range(2)]
+    # every url is a candidate at every tick (hosts are distinct per
+    # url in the synthetic web, so budget-1 admits each url's host
+    # once per tick; re-admissions dedup through W1/seen)
+    for t, ts in enumerate(ticks):
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "url": urls[: 4 * (t + 1)],
+                    "priority": [float(i) for i in range(len(urls[: 4 * (t + 1)]))],
+                    "warc_ts": [ts.replace(tzinfo=None)] * len(urls[: 4 * (t + 1)]),
+                }
+            )
+        ).coalesce(1).write.mode("append").parquet(cand_dir)
+
+    eng = _mk(spark, tmp_path, "crawlstream")
+    eng.bootstrap([urls[0]], NOW)
+    epoch0 = eng.epoch
+    q = streaming.run_crawl_stream(
+        eng, cand_dir, web, str(tmp_path / "ckpt_e2e"),
+        crawl_delay_s=60.0, burst_cap=1.0, now=ticks[-1],
+    )
+    q.awaitTermination(180)
+    # one committed epoch per admitted micro-batch
+    assert eng.epoch > epoch0
+    # pages were processed: discovery minted nodes beyond the seed
+    assert eng.nodes.count() > 1
+    assert eng.edges.count() > 0
+
+
 def test_stream_source_schema(spark, tmp_path):
     d, _ = _write_pages(spark, tmp_path)
     src = streaming.stream_pages(spark, d)
