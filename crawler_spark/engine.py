@@ -482,6 +482,11 @@ class CrawlEngine:
             )
             self._mark_dirty("_filters_dirty", touched)
             self._mark_dirty("_nodes_dirty", touched)
+            # register the mint for the delta-composed commit too: if
+            # the SAME epoch later pends node deltas (an arbiter flip),
+            # the commit rebuilds dirty buckets from snapshot+pendings
+            # and would otherwise drop rows that exist only in memory
+            self._pend("nodes", None, minted)
             self.nodes = self.nodes.unionByName(minted)
 
         # new follow lists for EVERY fetched author (active AND

@@ -200,6 +200,38 @@ def test_bucketed_commits_record_partial_writes(spark, tmp_path):
     )
 
 
+def test_mint_and_arbiter_flip_same_epoch_commit(spark, tmp_path, monkeypatch):
+    """An epoch that BOTH mints new nodes and flips nodes through the
+    arbiter must commit a nodes table containing the minted rows AND
+    the flips — the delta-composed partial commit rebuilds dirty
+    buckets from snapshot+pendings, so an unregistered in-memory-only
+    mutation would silently drop rows (trap #13: assert the committed
+    chain against the PRE-commit logical state)."""
+    from crawler_spark import schemas
+
+    eng = _mk(spark, tmp_path, "mintflip")
+    eng.bootstrap([datagen.node_url(i) for i in (0, 1, 2)], NOW)
+    # force the arbiter to run this epoch regardless of change ratio;
+    # node 0 (visited only by its own 20 walks < demote_thr 21) is a
+    # guaranteed demotion, node 9 is a guaranteed mint
+    monkeypatch.setattr(schemas, "ARBITER_ACTIVATION_THRESHOLD", 0.0)
+    eng.epoch += 1
+    s = eng.process_pages(datagen.pages_df(spark, {0: [1, 2, 9]}), NOW)
+    s.update(eng.maybe_arbiter(NOW))
+    assert s["new_nodes"] == 1
+    assert s.get("demoted", 0) or s.get("promoted", 0) or s.get("arbiter")
+    want_nodes = sorted(map(str, eng.nodes.collect()))
+    want_walks = sorted(map(str, eng.walks.collect()))
+    eng._commit(NOW, s)
+    assert sorted(map(str, eng.nodes.collect())) == want_nodes
+    assert sorted(map(str, eng.walks.collect())) == want_walks
+    eng2 = _mk(spark, tmp_path, "mintflip")
+    eng2.resume()
+    assert sorted(map(str, eng2.nodes.collect())) == want_nodes
+    got_urls = {r.url for r in eng2.nodes.select("url").collect()}
+    assert datagen.node_url(9) in got_urls  # the mint survived the flip
+
+
 def test_run_epoch_with_robots(spark, tmp_path):
     """run_epoch with a robots table: disallowed urls flip to
     'blocked', are never fetched, and the frontier falls back to a
