@@ -90,9 +90,18 @@ def run_one(cpus: int) -> None:
         "url", F.explode(extract_links("html", "url")).alias("link")
     )
     candidates = links.select(F.col("link").alias("url")).distinct()
+    # eager=False + release: the production engine shape — the probe
+    # persists across the two union branches (one probe run), the
+    # admitted set is consumed in exactly one action with no
+    # intermediate localCheckpoint write, and the probe cache is
+    # released right after
+    _rel: list = []
     n_new = seen.admit_new_urls(
-        candidates, filters, pages.select("url"), 64
+        candidates, filters, pages.select("url"), 64,
+        eager=False, release=_rel,
     ).count()
+    for _df in _rel:
+        _df.unpersist()
     t_frontier = time.perf_counter() - t0
 
     # walk graph (untimed maintenance): a separate small synthetic

@@ -451,10 +451,13 @@ class CrawlEngine:
         if self._filters_dirty is not None and not self._filters_dirty:
             cur = self.cat.current("filters")
             fpath = cur.path if cur else None
-        # eager=False + checkpoint of MINTED (not the admitted set):
-        # one materialization instead of two per epoch — minted is the
-        # DF with three consumers (count, filter update, nodes union),
-        # the admitted set feeds only the mint
+        # eager=False + release: checkpoint MINTED (not the admitted
+        # set) — one materialization instead of two per epoch; the
+        # probe persists across the union branches (it would otherwise
+        # run twice inside the mint action) and is released as soon as
+        # the minted rows materialize, so nothing stays pinned across
+        # epochs
+        _release: list = []
         new_urls = seen.admit_new_urls(
             candidates,
             self.filters,
@@ -462,10 +465,13 @@ class CrawlEngine:
             self.n_buckets,
             filters_path=fpath,
             eager=False,
+            release=_release,
         )
         minted = graph.mint_node_ids(
             self.nodes, new_urls, added_ts=now
         ).localCheckpoint(eager=True)
+        for _df in _release:
+            _df.unpersist()
         n_new = minted.count()
         if n_new:
             # incremental per-bucket filter maintenance: only buckets

@@ -404,6 +404,7 @@ def admit_new_urls(
     n_buckets: int = 64,
     filters_path: str | None = None,
     eager: bool = True,
+    release: list | None = None,
 ) -> DataFrame:
     """The admission gate (S2/J3, crawler.go:94-102 inverted: we keep
     the UNKNOWN urls for discovery; `resolveIDs` keeps unknowns too,
@@ -413,23 +414,30 @@ def admit_new_urls(
     (bloom positive, exactly verified new via left_anti). At scale the
     anti-join probe side is only the positives (~seen + 1% FP).
 
-    `eager=True` (default): the probe is persisted across the two
-    branches and the admitted set is materialized (localCheckpoint) so
-    the cache can be released here — right for callers that consume
-    the result several times. `eager=False` returns the LAZY union
-    with NO persist/checkpoint: callers that consume it in exactly one
-    downstream action (the engine checkpoints the minted rows; the
-    bench counts once) skip a whole extra materialization, and
-    Catalyst's exchange reuse dedupes the probe's upstream shuffle
-    between the two branches within that one action."""
+    Materialization contract — the probe feeds BOTH union branches, so
+    something must stop it running twice (exchange reuse only covers
+    the shuffle below it, not the probe UDF itself):
+
+    - `eager=True` (default): persist the probe, checkpoint the
+      admitted set, release the cache here — right for callers that
+      consume the result several times.
+    - `eager=False, release=<list>`: persist the probe and append the
+      persisted frame to `release`; the caller unpersists after its
+      ONE downstream action. One probe run, no checkpoint write, no
+      cache leak across a long crawl — the engine/bench shape.
+    - `eager=False, release=None`: fully lazy — NO persist anywhere.
+      Only for callers that cannot release (driver-owned contract
+      queries); the probe runs once per union branch."""
     probed = probe_seen(
         candidates, filters, n_buckets, filters_path=filters_path
     )
-    if eager:
+    if eager or release is not None:
         # persisted blocks otherwise accumulate across a long crawl
-        # (one leak per epoch). Checkpoint blocks are GC-managed;
-        # persist pins — so checkpoint the result, release the cache.
+        # (one leak per epoch) — every persist here is either released
+        # below (eager) or handed to the caller to release
         probed = probed.persist()
+        if not eager:
+            release.append(probed)
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     positives = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     verified_new = positives.join(seen_exact.select("url"), "url", "left_anti")

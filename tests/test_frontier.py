@@ -68,6 +68,34 @@ def test_admit_new_urls_matches_exact_antijoin(spark):
     assert got == want
 
 
+def test_admit_release_mode_matches_and_releases(spark):
+    """eager=False + release: same rows as the default path, the probe
+    is persisted exactly once (it feeds both union branches), and the
+    caller-side unpersist leaves no cached blocks behind — the engine
+    epoch shape must not leak one persist per epoch."""
+    hosts = [f"h{i}.test" for i in range(10)]
+    seen_urls = [f"https://{hosts[i % 10]}/p{i}" for i in range(1000)]
+    cand_urls = [f"https://{hosts[i % 10]}/p{i}" for i in range(500, 2000)]
+    seen_df = spark.createDataFrame([(u,) for u in seen_urls], "url string")
+    cand_df = spark.createDataFrame([(u,) for u in cand_urls], "url string")
+    filters = seen.build_seen_filters(seen_df, n_buckets=8)
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    rel: list = []
+    out = seen.admit_new_urls(
+        cand_df, filters, seen_df, n_buckets=8, eager=False, release=rel
+    )
+    got = sorted(r.url for r in out.collect())
+    assert len(rel) == 1
+    for df in rel:
+        df.unpersist(blocking=True)
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after <= before
+    want = sorted(
+        r.url for r in cand_df.join(seen_df, "url", "left_anti").collect()
+    )
+    assert got == want
+
+
 def test_probe_seen_flags(spark):
     seen_df = spark.createDataFrame([(u,) for u in _urls("s", 500)], "url string")
     filters = seen.build_seen_filters(seen_df, n_buckets=4)
