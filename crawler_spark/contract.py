@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from . import graph, rank, seen, walks_gen
 from . import frontier as frontier_mod
 from .functions.extract import is_valid_url, url_host
-from .ops import dedup, similarity, textstats
+from .ops import dedup, multimodal, similarity, textstats
 
 SPLIT_TS = "1998-06-01 00:00:00"
 
@@ -321,6 +321,45 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def _mm_media(spark, sf_dir):
+    """Deterministic media-metadata table derived from `documents` by
+    pure column math (mirrored exactly in the oracles): kind cycles
+    image/audio/video by doc_id, durations and dimensions are modular
+    functions of doc_id. Payload bytes are irrelevant to the PLAN
+    operators under test — the whole point of the typed-metadata
+    schema (ops/multimodal.py) is that plan math never touches them."""
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id"))
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        (F.lit(16) + F.col("doc_id") % 112).alias("width"),
+        (F.lit(16) + (F.col("doc_id") * 7) % 112).alias("height"),
+        (F.lit(1000) + (F.col("doc_id") * 37) % 60000).alias("duration_ms"),
+    )
+
+
+def q_mm_frame_plan(spark, sf_dir):
+    """Video frame-sampling plan (ops/multimodal.frame_sample):
+    sequence+explode column math, one row per sampled frame."""
+    plan = multimodal.frame_sample(
+        _mm_media(spark, sf_dir), every_ms=10000, max_frames=8
+    )
+    return plan.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("ts_ms").cast("long").alias("ts_ms"),
+    )
+
+
+def q_mm_resize_plan(spark, sf_dir):
+    """Image resize plan (ops/multimodal.resize_plan): scale factors
+    as 6-dp column math over the typed metadata only."""
+    return multimodal.resize_plan(_mm_media(spark, sf_dir), target=64)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(emb, emb.filter("vec_id < 10"), k=10)
@@ -418,6 +457,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
     "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
     "text_stats": q_text_stats,
+    "mm_frame_plan": q_mm_frame_plan,
+    "mm_resize_plan": q_mm_resize_plan,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "mc_pagerank": q_mc_pagerank,
@@ -712,6 +753,32 @@ select doc_id,
   + 0.2 * least(length(text) / 500.0, 1.0), 6) as quality,
   md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) as fp
 from base
+""",
+    "mm_frame_plan": """
+with media as (
+  select doc_id as media_id,
+         1000 + (doc_id * 37) % 60000 as duration_ms
+  from documents where doc_id % 3 = 2
+), plans as (
+  select media_id,
+         least(greatest(cast(floor(duration_ms / 10000.0) as int), 1), 8) as nf
+  from media
+)
+select media_id, cast(f as bigint) as frame_idx,
+       cast(f * 10000 as bigint) as ts_ms
+from (select media_id, unnest(range(nf)) as f from plans) s
+""",
+    "mm_resize_plan": """
+with media as (
+  select doc_id as media_id,
+         16 + doc_id % 112 as width,
+         16 + (doc_id * 7) % 112 as height
+  from documents where doc_id % 3 = 0
+)
+select media_id, width, height,
+       round(64 / width, 6) as scale_x,
+       round(64 / height, 6) as scale_y
+from media
 """,
     "ann_cosine_topk": """
 with q as (select vec_id as query_id, embedding as qv from embeddings
