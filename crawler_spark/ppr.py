@@ -319,11 +319,38 @@ def per_source_walk_sample(
             walks.select(F.explode("path").alias("member"), "walk_id"),
             "member",
         ).select("source_id", "walk_id").distinct()
-    w = Window.partitionBy("source_id").orderBy(
-        F.xxhash64(F.lit(seed), "walk_id"), "walk_id"
+    hkey = F.xxhash64(F.lit(seed), "walk_id")
+    # Hash-threshold pre-filter so the per-source SORT (the window
+    # below) sees a BOUNDED input: keep each row iff its uniform-ized
+    # hash falls in the smallest keep_p fraction, keep_p sized so
+    # ~(4*limit+100) rows survive per source. Selecting the `limit`
+    # smallest hashes from the survivors equals selecting them from
+    # all hits whenever >= limit rows survive — the survivors ARE the
+    # smallest-hash rows by construction — so the output is
+    # bit-identical to the unthresholded window (failure probability
+    # is Chernoff-negligible, and the equality gate in test_ppr pins
+    # it). Without this, a hot source (celebrity node visited by
+    # ~every walk in a 10^12-walk store) funnels its entire narrow
+    # hit set through ONE task's sort even though the output is
+    # capped; with it, sort input per source is ~4*limit regardless
+    # of store size. `n_hits` is one row per queried source (the
+    # query batch — small by contract, reference W5 samples per
+    # queried source, store.go:243-288), hence the explicit
+    # broadcast: the filter runs map-side and loser rows never
+    # shuffle anywhere.
+    n_hits = hits.groupBy("source_id").agg(F.count("*").alias("_n"))
+    u01 = hkey.cast("double") / F.lit(float(2**64)) + F.lit(0.5)
+    keep_p = F.least(
+        F.lit(1.0), F.lit(4.0 * limit + 100.0) / F.col("_n")
     )
+    pre = (
+        hits.join(F.broadcast(n_hits), "source_id")
+        .filter(u01 <= keep_p)
+        .drop("_n")
+    )
+    w = Window.partitionBy("source_id").orderBy(hkey, "walk_id")
     capped = (
-        hits.withColumn("_rn", F.row_number().over(w))
+        pre.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= limit)
         .drop("_rn")
     )

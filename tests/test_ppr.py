@@ -116,6 +116,50 @@ def test_many_source_sample_capped_pre_shuffle(spark):
     ) == sorted((r.source_id, r.walk_id) for r in idx_sample.collect())
 
 
+def test_per_source_sample_threshold_is_exact(spark):
+    """The hash-threshold pre-filter (bounds the per-source sort input
+    for hot sources) must be INVISIBLE in the output: per source, the
+    sample is exactly the `limit` smallest (xxhash64(seed, walk_id),
+    walk_id) pairs over ALL walks visiting the source's neighborhood —
+    the same rows the unthresholded window would pick."""
+    follows = {i: [0] for i in range(1, 30)}
+    follows[0] = [1]
+    edges = spark.createDataFrame(
+        [(s, d) for s, ds in follows.items() for d in ds], "src long, dst long"
+    )
+    starts = spark.createDataFrame(
+        [(i,) for i in sorted(follows)], "node_id long"
+    )
+    walks = walks_gen.generate_walks(
+        spark, edges, starts, walks_per_node=40, seed=7, strategy="broadcast"
+    ).localCheckpoint()
+    limit, seed = 9, 13
+    # oracle: python selection over the full store, with the hash
+    # values taken from Spark's own xxhash64 (no reimplementation)
+    rows = walks.select(
+        "walk_id", "path", F.xxhash64(F.lit(seed), "walk_id").alias("h")
+    ).collect()
+    expected = {}
+    for src, fl in follows.items():
+        members = set(fl) | {src}
+        visiting = [
+            (r["h"], r["walk_id"]) for r in rows if members & set(r["path"])
+        ]
+        expected[src] = sorted(visiting)[:limit]
+    got = ppr.per_source_walk_sample(
+        edges, walks, starts, limit, seed=seed
+    ).collect()
+    got_by_src: dict[int, list] = {}
+    hash_of = {r["walk_id"]: r["h"] for r in rows}
+    for r in got:
+        got_by_src.setdefault(int(r["source_id"]), []).append(
+            (hash_of[r["walk_id"]], r["walk_id"])
+        )
+    assert set(got_by_src) == set(expected)
+    for src in expected:
+        assert sorted(got_by_src[src]) == expected[src], src
+
+
 def test_neighborhood_csr_is_bounded(spark, monkeypatch):
     """The stitcher's adjacency is the BFS closure of the sampled
     neighborhood (FollowCache contract, pkg/pagerank/cache.go:11-62)
