@@ -66,6 +66,10 @@ def shingle_rows(
     substring path is O(len^2) (measured dominant on long docs)."""
     from pyspark.sql.types import ArrayType, StringType
 
+    from . import fan_out
+
+    docs = fan_out(docs)  # single-split scans otherwise pin the UDF to 1 task
+
     @F.pandas_udf(ArrayType(StringType()))
     def _sh(text: pd.Series) -> pd.Series:
         out = []
@@ -234,6 +238,9 @@ def simhash(
     Pure column math: explode tokens, one groupBy summing per-bit
     votes via shiftright/bitwise-and, then recombine."""
     assert n_bits in (32, 64)
+    from . import fan_out
+
+    docs = fan_out(docs)  # md5-per-token projection; spread single-split scans
     toks = docs.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), "\\s+")).alias("tok"),

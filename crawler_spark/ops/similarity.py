@@ -55,8 +55,14 @@ def cosine_topk(
 ) -> DataFrame:
     """(query_id, vec_id, cos, rn) — exact top-k neighbors per query
     (excluding the query itself), rn = 1..k by (cos DESC, vec_id)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    from . import fan_out
+
+    # queries is the stream side of the nested-loop join — a single-
+    # split query file otherwise evaluates every cosine on one task
+    q = fan_out(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
     )
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("cv"))
     w = Window.partitionBy("query_id").orderBy(
@@ -102,6 +108,9 @@ def add_lsh_bucket(
     that blows past the codegen budget and falls back to interpreted
     evaluation (VERDICT r1); the matmul is one projection regardless
     of dim."""
+    from . import fan_out
+
+    df = fan_out(df)  # matmul UDF: spread single-split scans
     planes_t = _hyperplanes(dim, n_bits, seed).T  # (dim, n_bits)
     weights = (1 << np.arange(n_bits)).astype(np.int64)
 
@@ -191,6 +200,9 @@ def kmeans_centroids(
     )
     cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
 
+    from . import fan_out
+
+    corpus_v = fan_out(corpus.select(F.col(vec_col)))
     part_schema = "cell int, n long, vsum array<double>"
     for _ in range(max(n_iters, 0)):
         bc = spark.sparkContext.broadcast(cents)
@@ -222,8 +234,7 @@ def kmeans_centroids(
             )
 
         rows = (
-            corpus.select(F.col(vec_col))
-            .mapInPandas(partials, schema=part_schema)
+            corpus_v.mapInPandas(partials, schema=part_schema)
             .collect()
         )
         new_n = np.zeros(len(cents), dtype=np.int64)
