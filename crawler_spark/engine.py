@@ -109,6 +109,7 @@ class CrawlEngine:
         # minting never launch a full-store aggregation
         self.total_visits = 0
         self.next_walk_id = 0
+        self.next_node_id = 0
         # bucket-level commit tracking: None => full snapshot rewrite
         # (bootstrap / arbiter restructure); a set => only those
         # buckets are written, the rest hardlink from the previous
@@ -180,6 +181,7 @@ class CrawlEngine:
         # counters (every later epoch maintains them from deltas)
         self.next_walk_id = walks_gen.next_walk_id(self.walks)
         self.total_visits = walks_gen.total_visits(self.walks)
+        self.next_node_id = self.nodes.count()  # ids dense 0..n-1
         self._commit(now, {"event": "bootstrap", "seeds": len(seed_urls)})
 
     def _load(self, name: str):
@@ -226,6 +228,18 @@ class CrawlEngine:
         self.next_walk_id = (
             int(nid) if nid is not None else walks_gen.next_walk_id(self.walks)
         )
+        # the walksTracker counter is persisted by every commit; losing
+        # it on restart would reset the arbiter's change-ratio signal
+        # to 0 each time, deferring promotion indefinitely under
+        # periodic restarts (reference keeps it in RWS state,
+        # process.go:118-123)
+        self.walks_changed = int(cur_nodes.metrics.get("walks_changed") or 0)
+        nnid = cur_nodes.metrics.get("next_node_id")
+        if nnid is not None:
+            self.next_node_id = int(nnid)
+        else:  # pre-counter snapshot: one-time scan
+            prev = self.nodes.agg(F.max("node_id")).first()[0]
+            self.next_node_id = (prev if prev is not None else -1) + 1
         self._walks_dirty = set()
         self._edges_dirty = set()
         self._filters_dirty = set()
@@ -279,6 +293,7 @@ class CrawlEngine:
             "walks_changed": self.walks_changed,
             "total_visits": self.total_visits,
             "next_walk_id": self.next_walk_id,
+            "next_node_id": self.next_node_id,
         }
         if extra:
             m.update(extra)
@@ -467,12 +482,20 @@ class CrawlEngine:
             eager=False,
             release=_release,
         )
+        # start_id from the tracked counter + known_new: the admission
+        # gate above IS the novelty check — minting neither re-scans
+        # nodes for max(node_id) nor re-anti-joins the full url set
         minted = graph.mint_node_ids(
-            self.nodes, new_urls, added_ts=now
+            self.nodes,
+            new_urls,
+            added_ts=now,
+            start_id=self.next_node_id,
+            known_new=True,
         ).localCheckpoint(eager=True)
         for _df in _release:
             _df.unpersist()
         n_new = minted.count()
+        self.next_node_id += n_new
         if n_new:
             # incremental per-bucket filter maintenance: only buckets
             # that gained urls are rewritten (seen.update_seen_filters)
@@ -615,34 +638,55 @@ class CrawlEngine:
                 upd.select("walk_id"),
                 upd.select("walk_id", "start_id", "path"),
             )
-            # visits index + totalVisits maintenance from the repair
-            # delta (store.go:337-358,442-465 semantics): one action
-            # yields dirty node buckets AND the counter delta
             vis_rm, vis_add = walks_update.visit_deltas(upd)
-            vrows = (
-                vis_rm.select("node_id", F.lit(-1).alias("d"))
-                .unionByName(vis_add.select("node_id", F.lit(1).alias("d")))
-                .groupBy(self._bucket_of("node_id").alias("b"))
-                .agg(F.sum("d").alias("s"))
-                .collect()
-            )
-            self._mark_dirty("_visits_dirty", (r["b"] for r in vrows))
-            self.total_visits += sum(int(r["s"]) for r in vrows)
-            self._pend(
-                "visits",
-                vis_rm.select("node_id", "walk_id"),
-                vis_add.select("node_id", "walk_id"),
-            )
-            # no broadcast hint: a mass delta can make vis_rm
-            # unbounded; AQE picks broadcast at runtime for the
-            # (typical) delta-sized case
-            self.visits = self.visits.join(
-                vis_rm, ["node_id", "walk_id"], "left_anti"
-            ).unionByName(vis_add.select("node_id", "walk_id"))
+            self.total_visits += self._apply_visits_delta(vis_rm, vis_add)
             self.walks = walks_update.finish_update(repaired)
             self.walks_changed += n_up
             stats["walks_updated"] = n_up
         return stats
+
+    def _apply_visits_delta(
+        self, vis_rm: DataFrame | None, vis_add: DataFrame | None
+    ) -> int:
+        """Maintain the visits inverted index from a (node_id, walk_id)
+        delta — the store.go:337-358,442-465 transactional update, in
+        ONE place for the repair and arbiter paths: mark dirty node
+        buckets, register the delta-composed commit pair, splice the
+        in-memory index, and return the signed pair-count delta
+        (== Δ totalVisits: walks stop on cycles, so a path never
+        repeats a node and pair count equals Σ size(path)). One action
+        yields the buckets AND the counter delta."""
+        parts = []
+        if vis_rm is not None:
+            parts.append(vis_rm.select("node_id", F.lit(-1).alias("d")))
+        if vis_add is not None:
+            parts.append(vis_add.select("node_id", F.lit(1).alias("d")))
+        if not parts:
+            return 0
+        alld = parts[0]
+        for p in parts[1:]:
+            alld = alld.unionByName(p)
+        rows = (
+            alld.groupBy(self._bucket_of("node_id").alias("b"))
+            .agg(F.sum("d").alias("s"))
+            .collect()
+        )
+        self._mark_dirty("_visits_dirty", (r["b"] for r in rows))
+        self._pend(
+            "visits",
+            vis_rm.select("node_id", "walk_id") if vis_rm is not None else None,
+            vis_add.select("node_id", "walk_id") if vis_add is not None else None,
+        )
+        v = self.visits
+        if vis_rm is not None:
+            # no broadcast hint: a mass delta can make vis_rm
+            # unbounded; AQE picks broadcast at runtime for the
+            # (typical) delta-sized case
+            v = v.join(vis_rm, ["node_id", "walk_id"], "left_anti")
+        if vis_add is not None:
+            v = v.unionByName(vis_add.select("node_id", "walk_id"))
+        self.visits = v
+        return sum(int(r["s"] or 0) for r in rows)
 
     def _visits_index(self, node_buckets) -> DataFrame:
         """The (node_id, walk_id) inverted index restricted to the
@@ -674,6 +718,10 @@ class CrawlEngine:
         ratio = frontier_mod.change_ratio(self.walks_changed, total, self.alpha)
         if ratio < schemas.ARBITER_ACTIVATION_THRESHOLD:
             return {"arbiter": 0, "change_ratio": ratio}
+        # materialize ONCE: decisions is nodes ⋈ an aggregation over
+        # the whole visits index, and ~6 downstream actions (counts
+        # collect, removed/added/flipped checkpoints, promoted
+        # enqueue) would each re-run that aggregation from lineage
         decisions = frontier_mod.arbiter_decisions(
             self.nodes,
             self.walks,
@@ -681,7 +729,7 @@ class CrawlEngine:
             walks_per_node=self.wpn,
             promotion_wait_s=self.promotion_wait_s,
             visits=self.visits,
-        )
+        ).localCheckpoint(eager=True)
         self.nodes, self.walks, promoted, cnts, delta = (
             frontier_mod.apply_arbiter(
                 self.spark,
@@ -723,20 +771,16 @@ class CrawlEngine:
             )
             self._mark_dirty("_nodes_dirty", delta["node_buckets"] or [])
             self._pend("nodes", flipped_ids, flipped_new)
-            for wdf, sign in ((removed, -1), (added, 1)):
+            for wdf, is_add in ((removed, False), (added, True)):
                 if wdf is None:
                     continue
                 rows = (
                     wdf.groupBy(self._bucket_of("walk_id").alias("b"))
-                    .agg(
-                        F.sum(F.size("path")).alias("v"),
-                        F.max("walk_id").alias("mx"),
-                    )
+                    .agg(F.max("walk_id").alias("mx"))
                     .collect()
                 )
                 self._mark_dirty("_walks_dirty", (r["b"] for r in rows))
-                self.total_visits += sign * sum(int(r["v"] or 0) for r in rows)
-                if sign > 0 and rows:
+                if is_add and rows:
                     self.next_walk_id = max(
                         self.next_walk_id,
                         max(int(r["mx"]) for r in rows) + 1,
@@ -746,39 +790,17 @@ class CrawlEngine:
                 removed.select("walk_id") if removed is not None else None,
                 added,
             )
-            vis_rm = (
-                removed.select("walk_id", F.explode("path").alias("node_id"))
+            # inline explode (not walks_gen.visits_of): the no-scan
+            # gate poisons visits_of to catch full-STORE derivations,
+            # and these are delta frames
+            self.total_visits += self._apply_visits_delta(
+                removed.select(F.explode("path").alias("node_id"), "walk_id")
                 if removed is not None
-                else None
-            )
-            vis_add = (
-                added.select("walk_id", F.explode("path").alias("node_id"))
+                else None,
+                added.select(F.explode("path").alias("node_id"), "walk_id")
                 if added is not None
-                else None
+                else None,
             )
-            vparts = [
-                x.select(self._bucket_of("node_id").alias("b"))
-                for x in (vis_rm, vis_add)
-                if x is not None
-            ]
-            vb = vparts[0]
-            for p in vparts[1:]:
-                vb = vb.unionByName(p)
-            self._mark_dirty(
-                "_visits_dirty",
-                (r["b"] for r in vb.distinct().collect()),
-            )
-            self._pend(
-                "visits",
-                vis_rm.select("node_id", "walk_id") if vis_rm is not None else None,
-                vis_add.select("node_id", "walk_id") if vis_add is not None else None,
-            )
-            v = self.visits
-            if vis_rm is not None:
-                v = v.join(vis_rm, ["node_id", "walk_id"], "left_anti")
-            if vis_add is not None:
-                v = v.unionByName(vis_add.select("node_id", "walk_id"))
-            self.visits = v
         if n_promoted:
             self.frontier = frontier_mod.enqueue(
                 self.frontier, promoted.select("url", "node_id"), now

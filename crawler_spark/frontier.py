@@ -294,10 +294,11 @@ def apply_arbiter(
         # full rows of the dropped walks (start_id is the walk's
         # origin by construction): the caller's visits delta and
         # dirty-bucket sets derive from them without re-scanning
+        # no forced broadcast: a config change (raised demotion
+        # multiplier) can demote an unbounded node set in one pass;
+        # AQE broadcasts the typical small case at runtime anyway
         delta["removed_walks"] = walks.join(
-            demoted.select(F.col("node_id").alias("start_id")).hint(
-                "broadcast"
-            ),
+            demoted.select(F.col("node_id").alias("start_id")),
             "start_id",
             "left_semi",
         ).select("walk_id", "start_id", "path")

@@ -18,11 +18,25 @@ from pyspark.sql import functions as F
 from . import schemas
 
 
+def _ranged_by_url(cand: DataFrame, n_parts: int) -> DataFrame:
+    """Phase 1 of the two-phase mint: url-range partitions (contiguous,
+    ordered) tagged with their partition id — a parallel ordered
+    exchange, never a single-task global sort. Split out so the plan
+    gate can assert the range exchange directly (mint_node_ids pins
+    the layout behind a localCheckpoint, which hides it from the final
+    explain)."""
+    return cand.repartitionByRange(n_parts, F.col("url").asc()).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+
+
 def mint_node_ids(
     nodes: DataFrame | None,
     candidate_urls: DataFrame,
     status: str = schemas.STATUS_INACTIVE,
     added_ts: _dt.datetime | None = None,
+    start_id: int | None = None,
+    known_new: bool = False,
 ) -> DataFrame:
     """M12 / resolveIDs (reference pkg/crawler/process.go:171-220,
     pkg/database/redisdb/database.go:179-210): assign dense ids to urls
@@ -46,16 +60,33 @@ def mint_node_ids(
     the counts and the ranking (one shuffle of the batch).
     """
     cand = candidate_urls.select("url").distinct()
-    if nodes is not None:
+    if nodes is not None and not known_new:
+        # `known_new=True` callers (the engine) have already verified
+        # novelty through the admission gate (bloom-negative union
+        # exactly-verified anti-join on the same nodes.url set) —
+        # repeating the anti-join here would re-shuffle the full nodes
+        # table once per epoch for nothing
         cand = cand.join(nodes.select("url"), "url", "left_anti")
-        max_id = (nodes.agg(F.max("node_id")).first()[0] or -1) + 1
+    if start_id is not None:
+        # engine-tracked counter (like next_walk_id): no per-epoch
+        # max() scan of the nodes table
+        max_id = start_id
+    elif nodes is not None:
+        # NOT `or -1`: a store whose highest id is 0 (single seed) is
+        # falsy and would re-mint id 0 onto a new url
+        prev_max = nodes.agg(F.max("node_id")).first()[0]
+        max_id = (prev_max if prev_max is not None else -1) + 1
     else:
         max_id = 0
     spark = candidate_urls.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
-    ranged = cand.repartitionByRange(n_parts, F.col("url").asc()).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    # localCheckpoint pins ONE concrete range layout: `ranged` is read
+    # by both the counts subtree and the ranking join, and
+    # repartitionByRange samples its boundaries per exchange instance —
+    # without the pin, correctness (ids = a permutation of
+    # max_id..max_id+n-1) would rest on Catalyst exchange reuse
+    # de-duplicating the two subtrees into one physical shuffle.
+    ranged = _ranged_by_url(cand, n_parts).localCheckpoint(eager=False)
     counts = ranged.groupBy("_pid").agg(F.count("*").alias("_n"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(

@@ -17,11 +17,44 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     shuffle is ever added on the scale path. Round-robin rather than
     keyed: a keyed repartition on the join/group column can be elided
     by Catalyst, and every caller's result is invariant to row-to-
-    partition assignment (per-doc aggregations / bucket joins)."""
+    partition assignment (per-doc aggregations / bucket joins).
+
+    The probe is METADATA-ONLY (input file list + optimizer size
+    stats): converting to `.rdd` to read getNumPartitions() would
+    eagerly execute every upstream AQE query stage when the caller
+    passes a plan containing an exchange — surprise jobs whose work
+    then re-runs at the real action. Split count is estimated as
+    max(#files, ceil(bytes / maxPartitionBytes)); non-file plans
+    (in-memory relations) are left untouched — they already inherit
+    the session's parallelism."""
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
     try:
-        cur = df.rdd.getNumPartitions()
+        files = df.inputFiles()
+        if not files:
+            return df
+        # py4j maps scala BigInt to a python int already
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        max_split = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+        est = max(len(files), -(-size // max_split) if size > 0 else 0)
     except Exception:
         return df
-    return df.repartition(target) if cur < target else df
+    return df.repartition(target) if est < target else df
+
+
+def _parse_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf value ('134217728', '16m',
+    '128MB') to bytes."""
+    s = str(v).strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40)):
+        if s.endswith(suffix):
+            mult, s = m, s[:-1]
+            break
+    return max(int(float(s)) * mult, 1)

@@ -610,15 +610,22 @@ def add_walks(walks: DataFrame, new_walks: DataFrame) -> DataFrame:
 
 
 def remove_walks(walks: DataFrame, walk_ids: DataFrame) -> DataFrame:
-    """M4 RemoveWalks (reference store.go:362-411) — anti-join on id."""
-    return walks.join(walk_ids.select("walk_id").hint("broadcast"), "walk_id", "left_anti")
+    """M4 RemoveWalks (reference store.go:362-411) — anti-join on id.
+
+    No forced broadcast: a mass removal (arbiter demotion sweep) can
+    make `walk_ids` unbounded; AQE broadcasts the typical small case."""
+    return walks.join(walk_ids.select("walk_id"), "walk_id", "left_anti")
 
 
 def remove_walks_starting_at(walks: DataFrame, node_ids: DataFrame) -> DataFrame:
     """M9 walks.Remove (reference generate.go:207-234): drop walks that
-    ORIGINATE at the given nodes (element_at(path,1) == start)."""
+    ORIGINATE at the given nodes (element_at(path,1) == start).
+
+    The condition is an extractable equi-key (expression == column),
+    so without a broadcast hint this still plans as a hash/sort-merge
+    anti-join — a mass demotion must not funnel through the driver."""
     return walks.join(
-        node_ids.select(F.col("node_id").alias("_rm")).hint("broadcast"),
+        node_ids.select(F.col("node_id").alias("_rm")),
         F.element_at("path", 1) == F.col("_rm"),
         "left_anti",
     )

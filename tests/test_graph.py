@@ -20,6 +20,23 @@ def test_mint_ids_dense_deterministic(spark):
     assert [(r["url"], r["node_id"]) for r in new.collect()] == [("https://d.test/", 3)]
 
 
+def test_mint_continues_past_id_zero(spark):
+    """Regression: a store whose highest node_id is 0 (single seed) is
+    falsy; `max(...) or -1` re-minted id 0 onto the first discovered
+    url, silently aliasing two urls under one id."""
+    seed = spark.createDataFrame(pd.DataFrame({"url": ["https://seed.test/"]}))
+    nodes = graph.mint_node_ids(None, seed, added_ts=datagen.EPOCH0)
+    assert [r["node_id"] for r in nodes.collect()] == [0]
+    new = graph.mint_node_ids(
+        nodes,
+        spark.createDataFrame(pd.DataFrame({"url": ["https://found.test/"]})),
+        added_ts=datagen.EPOCH0,
+    )
+    assert [(r["url"], r["node_id"]) for r in new.collect()] == [
+        ("https://found.test/", 1)
+    ]
+
+
 def test_delta_partition_matches_reference_semantics(spark):
     # reference sliceutils.Partition: removed=old-new, common=old∩new, added=new-old
     df = spark.createDataFrame(

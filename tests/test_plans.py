@@ -94,7 +94,14 @@ def test_mint_node_ids_has_no_global_window(spark):
     p = _plan(graph.mint_node_ids(None, urls))
     assert "windowspecdefinition(url" not in p  # no global url sort
     assert "windowspecdefinition(_pid" in p  # per-range ranking
-    assert "rangepartitioning" in p.lower()  # parallel ordered exchange
+    # the range layout is pinned behind a localCheckpoint (one concrete
+    # boundary placement for BOTH consumers — correctness must not rest
+    # on exchange reuse), so the final explain shows the checkpointed
+    # RDD; the parallel ordered exchange is asserted on phase 1 itself
+    assert "existingrdd" in p.lower()
+    p1 = _plan(graph._ranged_by_url(urls.select("url").distinct(), 8))
+    assert "rangepartitioning" in p1.lower()  # parallel ordered exchange
+    assert "singlepartition" not in p1.lower()
 
 
 def test_delta_apply_broadcasts_removals(spark):

@@ -67,12 +67,25 @@ def test_visits_index_tracks_store_and_counters(spark, tmp_path):
     )
     assert eng.total_visits == walks_gen.total_visits(eng.walks)
     assert eng.next_walk_id >= walks_gen.next_walk_id(eng.walks)
+    # the node-id counter matches its scan definition: ids are dense,
+    # so next id == max(node_id)+1 == |nodes|
+    assert eng.next_node_id == eng.nodes.agg(F.max("node_id")).first()[0] + 1
 
     eng2 = _mk(spark, tmp_path, "track")
     eng2.resume()
     assert _index_rows(eng2.visits) == _index_rows(eng.visits)
     assert eng2.total_visits == eng.total_visits
     assert eng2.next_walk_id == eng.next_walk_id
+    assert eng2.next_node_id == eng.next_node_id
+    # the walksTracker counter survives restart too — losing it would
+    # reset the arbiter's change-ratio signal on every resume
+    assert eng2.walks_changed == eng.walks_changed
+    eng2.walks_changed = 7  # force a known nonzero value into a commit
+    eng2.epoch += 1
+    eng2._commit(NOW + dt.timedelta(minutes=30))
+    eng3 = _mk(spark, tmp_path, "track")
+    eng3.resume()
+    assert eng3.walks_changed == 7
 
 
 def test_delta_epoch_never_scans_store_for_visits(spark, tmp_path, monkeypatch):
