@@ -124,6 +124,12 @@ class CrawlEngine:
         # delta-composed commit inputs: table -> [(remove_df, add_df)]
         # applied in order onto the previous snapshot's dirty buckets
         self._pending: dict[str, list] = {}
+        # frame object loaded from each table's committed snapshot:
+        # _pruned_table may substitute a pruned snapshot read for the
+        # in-memory frame ONLY while the frame IS that object — any
+        # replacement (arbiter flip, caller mutation) voids it even if
+        # no dirty bucket was marked
+        self._snap_frames: dict[str, DataFrame] = {}
         # nodes bucket by the SAME host-hash as the filters, so the
         # minted-url touched set drives both partial commits
         self._nodes_dirty: set[int] | None = None
@@ -203,11 +209,9 @@ class CrawlEngine:
 
     def resume(self) -> None:
         """Reload every table from its last committed snapshot."""
-        self.nodes = self._load("nodes")
-        self.edges = self._load("edges")
-        self.walks = self._load("walks")
-        self.frontier = self._load("frontier")
-        self.filters = self._load("filters")
+        for name in ("nodes", "edges", "walks", "frontier", "filters"):
+            setattr(self, name, self._load(name))
+            self._snap_frames[name] = getattr(self, name)
         cur_nodes = self.cat.current("nodes")
         self.epoch = cur_nodes.epoch
         # counters from the manifest (metadata, no scan): |edges| and
@@ -217,6 +221,7 @@ class CrawlEngine:
         self.n_edges = self.cat.current("edges").n_rows
         try:
             self.visits = self._load("visits")
+            self._snap_frames["visits"] = self.visits
             self.total_visits = self.cat.current("visits").n_rows
             self._visits_dirty = set()
         except FileNotFoundError:
@@ -364,6 +369,7 @@ class CrawlEngine:
             # (the iterative-Spark pitfall) and makes the in-memory
             # state exactly the on-disk state
             setattr(self, name, self._load(name))
+            self._snap_frames[name] = getattr(self, name)
         self._walks_dirty = set()
         self._edges_dirty = set()
         self._filters_dirty = set()
@@ -420,20 +426,54 @@ class CrawlEngine:
         # produce a full-removal delta (processFollowList applies
         # Partition(old, nil); process.go:154-160), so the explode
         # below is explode_outer, never a row-dropping explode.
+        # Checkpointed ONCE (html dropped): the extraction UDF chain
+        # otherwise re-runs for every downstream action (admission
+        # count, delta checkpoint, bucket collects).
         with_links = latest.select(
             "url",
             F.filter(
                 extract_links("html", "url"), lambda c: is_valid_url(c)
             ).alias("links"),
-        )
+        ).localCheckpoint(eager=True)
+        n_pages = with_links.count()
+        # the batch's url-host buckets — a pure hash of the delta rows,
+        # no store read — prune the nodes snapshot for the author join:
+        # a url can only match inside its own bucket partition
+        batch_buckets = [
+            int(r["b"])
+            for r in with_links.select(
+                seen.url_bucket(F.col("url"), self.n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        auth_nodes = self._pruned_table("nodes", batch_buckets)
         # join to author node ids; only known nodes' pages are
-        # processed (the admission gate S2 already let them in)
+        # processed (the admission gate S2 already let them in).
+        # Checkpointed: feeds candidates, targets and the follow-list
+        # delta — each would otherwise re-read the snapshot buckets.
         pages_auth = with_links.join(
-            self.nodes.select("url", "node_id", "status"), "url"
-        )
+            (auth_nodes if auth_nodes is not None else self.nodes).select(
+                "url", "node_id", "status"
+            ),
+            "url",
+        ).localCheckpoint(eager=True)
         link_rows = pages_auth.select(
             "node_id", "status", F.explode_outer("links").alias("link")
         )
+        # the link targets' url buckets prune BOTH remaining nodes
+        # lookups this epoch (admission's exact-verify side and the
+        # target-resolution join): equal url => equal host bucket
+        link_buckets = [
+            int(r["b"])
+            for r in link_rows.filter(F.col("link").isNotNull())
+            .select(
+                seen.url_bucket(F.col("link"), self.n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        link_nodes = self._pruned_table("nodes", link_buckets)
 
         # discovery: unknown link targets get ids IF the author is
         # active (resolveIDs, process.go:186-206). Admission runs
@@ -476,7 +516,11 @@ class CrawlEngine:
         new_urls = seen.admit_new_urls(
             candidates,
             self.filters,
-            self.nodes.select("url"),
+            # exact-verify build side pruned to the candidates' url
+            # buckets (candidates ⊆ links): never the full url set
+            (link_nodes if link_nodes is not None else self.nodes).select(
+                "url"
+            ),
             self.n_buckets,
             filters_path=fpath,
             eager=False,
@@ -501,11 +545,16 @@ class CrawlEngine:
             # that gained urls are rewritten (seen.update_seen_filters)
             # same snapshot-path contract as the probe above: growing
             # buckets read their previous blob executor-side — filter
-            # maintenance never round-trips blobs through the driver
+            # maintenance never round-trips blobs through the driver.
+            # The exact url set (resize rebuilds only) is pruned to the
+            # minted urls' buckets — the only buckets maintenance can
+            # touch (minted ⊆ links, so link_nodes covers them).
             self.filters, touched = seen.update_seen_filters(
                 self.filters,
                 minted.select("url"),
-                self.nodes.select("url"),
+                (
+                    link_nodes if link_nodes is not None else self.nodes
+                ).select("url"),
                 self.n_buckets,
                 filters_path=fpath,
             )
@@ -526,8 +575,20 @@ class CrawlEngine:
         # author that is the full list; for an inactive one the known
         # subset (the reference's partial list); for a linkless page
         # an EMPTY list -> full-removal delta.
+        # target resolution against the pruned pre-mint snapshot plus
+        # this epoch's minted rows (minted ⊆ links, so their buckets
+        # are covered) — never a full nodes pass; falls back to the
+        # in-memory frame (which already contains the mint) otherwise
+        if link_nodes is not None:
+            target_nodes = link_nodes.select("url", "node_id")
+            if n_new:
+                target_nodes = target_nodes.unionByName(
+                    minted.select("url", "node_id")
+                )
+        else:
+            target_nodes = self.nodes.select("url", "node_id")
         targets = link_rows.join(
-            self.nodes.select(
+            target_nodes.select(
                 F.col("url").alias("link"), F.col("node_id").alias("dst")
             ),
             "link",
@@ -547,16 +608,27 @@ class CrawlEngine:
                 F.coalesce("new_follows", F.array().cast("array<long>")),
             )
         )
+        # the batch authors' src buckets prune the edge snapshot: an
+        # author's adjacency lives only in its own bucket partition
+        author_buckets = [
+            int(r["b"])
+            for r in pages_auth.select(self._bucket_of("node_id").alias("b"))
+            .distinct()
+            .collect()
+        ]
+        src_edges = self._pruned_table("edges", author_buckets)
+        if src_edges is None:
+            src_edges = self.edges
         old_lists = (
             new_lists.select("node_id")
             .join(
                 # restrict the adjacency agg to the batch's authors
-                # BEFORE grouping: a left_semi of the edge table
-                # against the (small) batch instead of grouping ALL
-                # edges and joining after (Catalyst won't push a join
-                # below an aggregate on its own)
+                # BEFORE grouping: a left_semi of the (pruned) edge
+                # table against the (small) batch instead of grouping
+                # ALL edges and joining after (Catalyst won't push a
+                # join below an aggregate on its own)
                 graph.adjacency_lists(
-                    self.edges.join(
+                    src_edges.select("src", "dst").join(
                         new_lists.select(F.col("node_id").alias("src")),
                         "src",
                         "left_semi",
@@ -585,7 +657,7 @@ class CrawlEngine:
         ).first()
         n_deltas = int(drow["n"])
 
-        stats = {"pages": latest.count(), "new_nodes": n_new, "deltas": n_deltas}
+        stats = {"pages": n_pages, "new_nodes": n_new, "deltas": n_deltas}
         if n_deltas:
             self.n_edges += int(drow["na"]) - int(drow["nr"])
             delta_buckets = sorted(
@@ -688,6 +760,37 @@ class CrawlEngine:
         self.visits = v
         return sum(int(r["s"] or 0) for r in rows)
 
+    def _pruned_table(self, name: str, buckets) -> DataFrame | None:
+        """Partition-pruned read of `name`'s committed snapshot,
+        restricted to `buckets` — valid ONLY while the in-memory frame
+        still equals the snapshot (no dirty buckets, no pendings: the
+        start-of-epoch state every _commit restores). Returns None
+        when that doesn't hold (or no snapshot exists); callers fall
+        back to the full in-memory frame. This is what keeps the
+        epoch's nodes/edges/visits lookups O(|touched buckets|)
+        instead of O(|store|) — the DataFrame re-expression of the
+        reference's keyIndex point reads (database.go:179-210)."""
+        dirty = getattr(self, f"_{name}_dirty")
+        if dirty is None or dirty or self._pending.get(name):
+            return None
+        if getattr(self, name, None) is not self._snap_frames.get(name):
+            # the frame was replaced since the last load (caller
+            # mutation, arbiter flip) without a dirty mark — the
+            # snapshot no longer speaks for it
+            return None
+        cur = self.cat.current(name)
+        if cur is None:
+            return None
+        try:
+            base = self.spark.read.parquet(cur.path)
+        except Exception:  # empty snapshot: no parquet parts to infer
+            return None
+        if "bucket" not in base.columns:
+            return None
+        return base.filter(
+            F.col("bucket").isin(sorted({int(b) for b in buckets}))
+        ).drop("bucket")
+
     def _visits_index(self, node_buckets) -> DataFrame:
         """The (node_id, walk_id) inverted index restricted to the
         given node buckets: a PARTITION-PRUNED read of the committed
@@ -695,18 +798,9 @@ class CrawlEngine:
         start-of-epoch state), else the in-memory index (operators
         filter it themselves). The pruned form is what makes repair
         selection O(|delta buckets|) instead of O(|index|)."""
-        cur = self.cat.current("visits")
-        if (
-            self._visits_dirty is not None
-            and not self._visits_dirty
-            and not self._pending.get("visits")
-            and cur is not None
-        ):
-            base = self.spark.read.parquet(cur.path)
-            if "bucket" in base.columns:
-                return base.filter(
-                    F.col("bucket").isin(sorted(int(b) for b in node_buckets))
-                ).select("node_id", "walk_id")
+        base = self._pruned_table("visits", node_buckets)
+        if base is not None:
+            return base.select("node_id", "walk_id")
         return self.visits
 
     def maybe_arbiter(self, now: _dt.datetime) -> dict:

@@ -136,6 +136,49 @@ def test_delta_epoch_never_scans_store_for_visits(spark, tmp_path, monkeypatch):
     assert eng.total_visits == walks_gen.total_visits(eng.walks)
 
 
+def test_epoch_lookups_are_partition_pruned(spark, tmp_path, monkeypatch):
+    """The per-epoch nodes/edges lookups (author join, admission
+    exact-verify, target resolution, old-adjacency fetch) read the
+    committed snapshot PARTITION-PRUNED to the batch's buckets — the
+    DataFrame form of the reference's keyIndex point reads — and the
+    epoch end-state is bit-identical to the unpruned fallback."""
+    web = datagen.pages_df(spark, {0: [1, 5], 1: [2]})
+
+    engA = _mk(spark, tmp_path, "pruneA")
+    engA.bootstrap([datagen.node_url(i) for i in (0, 1, 2)], NOW)
+    calls = []
+    orig = engine.CrawlEngine._pruned_table
+
+    def spy(self, name, buckets):
+        out = orig(self, name, buckets)
+        calls.append((name, out))
+        return out
+
+    monkeypatch.setattr(engine.CrawlEngine, "_pruned_table", spy)
+    sA = engA.run_epoch(web, NOW + dt.timedelta(minutes=1))
+    monkeypatch.undo()
+    pruned = {n for n, out in calls if out is not None}
+    assert "nodes" in pruned and "edges" in pruned
+    for name, out in calls:
+        if out is None:
+            continue
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "bucket" in plan, name
+
+    engB = _mk(spark, tmp_path, "pruneB")
+    engB.bootstrap([datagen.node_url(i) for i in (0, 1, 2)], NOW)
+    monkeypatch.setattr(
+        engine.CrawlEngine, "_pruned_table", lambda self, name, buckets: None
+    )
+    sB = engB.run_epoch(web, NOW + dt.timedelta(minutes=1))
+    monkeypatch.undo()
+    assert sA == sB
+    for tbl in ("nodes", "edges", "walks", "visits"):
+        assert sorted(map(str, getattr(engA, tbl).collect())) == sorted(
+            map(str, getattr(engB, tbl).collect())
+        ), tbl
+
+
 def test_arbiter_flip_commits_bucket_scoped(spark, tmp_path):
     """An arbiter pass that flips nodes no longer forces full
     walks/nodes snapshots: the touched buckets (flipped nodes' url
