@@ -130,6 +130,11 @@ class CrawlEngine:
         # replacement (arbiter flip, caller mutation) voids it even if
         # no dirty bucket was marked
         self._snap_frames: dict[str, DataFrame] = {}
+        # base snapshot reads keyed by path: an epoch probes the same
+        # unchanged snapshot up to 4x (author join, link lookups,
+        # edges, visits) — one file-listing/schema-inference pass each
+        # without this
+        self._snap_reads: dict[str, DataFrame] = {}
         # nodes bucket by the SAME host-hash as the filters, so the
         # minted-url touched set drives both partial commits
         self._nodes_dirty: set[int] | None = None
@@ -251,6 +256,7 @@ class CrawlEngine:
         self._nodes_dirty = set()
         self._frontier_dirty = set()
         self._pending = {}
+        self._snap_reads = {}
 
     def _host_bucket(self):
         """Frontier bucket: hash of the host string (the politeness/
@@ -377,6 +383,9 @@ class CrawlEngine:
         self._frontier_dirty = set()
         self._visits_dirty = set()
         self._pending = {}
+        # snapshot paths are versioned: superseded reads never hit
+        # again, so drop them rather than accumulate one per epoch
+        self._snap_reads = {}
 
     # ---- the epoch ----
 
@@ -498,6 +507,14 @@ class CrawlEngine:
             self._visits_dirty = None
             self.total_visits = walks_gen.total_visits(self.walks)
             self.next_walk_id = walks_gen.next_walk_id(self.walks)
+        if self.next_node_id == 0:
+            # same standalone guard for the node-id counter: minting
+            # below passes start_id=next_node_id with known_new=True
+            # (no max scan, no anti-join), which is only sound once the
+            # counter reflects the existing store — a populated engine
+            # always has next_node_id > 0 after this one-time derive
+            prev = self.nodes.agg(F.max("node_id")).first()[0]
+            self.next_node_id = (prev if prev is not None else -1) + 1
         # when the in-memory filters match the committed snapshot
         # (the normal start-of-epoch state), probe EXECUTOR-SIDE from
         # the snapshot's bucket partitions — the driver never holds
@@ -781,10 +798,13 @@ class CrawlEngine:
         cur = self.cat.current(name)
         if cur is None:
             return None
-        try:
-            base = self.spark.read.parquet(cur.path)
-        except Exception:  # empty snapshot: no parquet parts to infer
-            return None
+        base = self._snap_reads.get(cur.path)
+        if base is None:
+            try:
+                base = self.spark.read.parquet(cur.path)
+            except Exception:  # empty snapshot: no parquet parts
+                return None
+            self._snap_reads[cur.path] = base
         if "bucket" not in base.columns:
             return None
         return base.filter(

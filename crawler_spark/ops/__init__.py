@@ -26,7 +26,14 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     then re-runs at the real action. Split count is estimated as
     max(#files, ceil(bytes / maxPartitionBytes)); non-file plans
     (in-memory relations) are left untouched — they already inherit
-    the session's parallelism."""
+    the session's parallelism.
+
+    Known limits, both degrading to the pre-helper behavior (no
+    repartition), never to an added shuffle: a plan whose ACTUAL
+    parallelism is a coalesced post-shuffle stage is judged by its
+    leaf files (pass the bare scan, which is what every caller here
+    does), and a deliberately single-partition in-memory frame
+    (coalesce(1), checkpoint) is not re-spread."""
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
     try:
@@ -37,24 +44,20 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         size = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
-        max_split = _parse_bytes(
-            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        # Spark's own conf parser — the exact semantics applied to
+        # spark.sql.files.maxPartitionBytes, no hand-rolled duplicate
+        max_split = max(
+            int(
+                spark._jvm.org.apache.spark.network.util.JavaUtils
+                .byteStringAsBytes(
+                    spark.conf.get(
+                        "spark.sql.files.maxPartitionBytes", "134217728"
+                    )
+                )
+            ),
+            1,
         )
         est = max(len(files), -(-size // max_split) if size > 0 else 0)
     except Exception:
         return df
     return df.repartition(target) if est < target else df
-
-
-def _parse_bytes(v: str) -> int:
-    """Parse a Spark byte-size conf value ('134217728', '16m',
-    '128MB') to bytes."""
-    s = str(v).strip().lower()
-    if s.endswith("b"):
-        s = s[:-1]
-    mult = 1
-    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40)):
-        if s.endswith(suffix):
-            mult, s = m, s[:-1]
-            break
-    return max(int(float(s)) * mult, 1)

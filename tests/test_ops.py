@@ -220,3 +220,28 @@ def test_decoder_stub_raises(spark):
             multimodal.extract_features(media).collect()
     finally:
         multimodal.DECODERS.update(old)
+
+
+def test_fan_out_spreads_small_scans_only(spark, tmp_path):
+    """ops.fan_out: a small single-file parquet scan gains partitions
+    (it would otherwise pin the downstream UDF to one task); a scan
+    already estimated at >= parallelism splits and an in-memory frame
+    both pass through UNTOUCHED — the scale path never gains a
+    shuffle."""
+    from crawler_spark import ops
+
+    p = str(tmp_path / "small.parquet")
+    spark.range(0, 1000).toDF("doc_id").coalesce(1).write.parquet(p)
+    small = spark.read.parquet(p)
+    fanned = ops.fan_out(small, min_partitions=8)
+    assert fanned is not small
+    assert fanned.rdd.getNumPartitions() == 8
+    assert fanned.count() == 1000
+    # already-parallel scan: 10 files >= target 4 -> untouched
+    p2 = str(tmp_path / "wide.parquet")
+    spark.range(0, 1000).toDF("doc_id").repartition(10).write.parquet(p2)
+    wide = spark.read.parquet(p2)
+    assert ops.fan_out(wide, min_partitions=4) is wide
+    # in-memory frame: no input files -> untouched
+    mem = spark.createDataFrame([(1,)], "doc_id long")
+    assert ops.fan_out(mem, min_partitions=8) is mem
