@@ -67,6 +67,43 @@ def host_rate_metrics(
     )
 
 
+def dedup_exact_stream(
+    docs: DataFrame,
+    watermark: str = "10 minutes",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ingest_ts",
+) -> DataFrame:
+    """Streaming exact dedup over a document stream: the FIRST
+    arrival per content fingerprint survives; later identical texts
+    drop. The corpus-pipeline analogue of the batch
+    `ops.dedup.exact_dedup` (keeper = min doc_id): under in-order
+    replay the survivor sets coincide (first arrival == min id) —
+    the stream-vs-batch gate replays exactly that.
+
+    State is BOUNDED: `dropDuplicatesWithinWatermark` evicts
+    fingerprints older than the watermark horizon, so state size
+    tracks the horizon's ingest rate, not the corpus — a plain
+    streaming dropDuplicates at 10^10 docs would hold every
+    fingerprint forever. Past-horizon re-arrivals of the same text
+    are the correctness trade; the periodic batch dedup over the
+    accumulated table repairs them (the same bounded-memory trade as
+    the crawl's bloom-bucketed seen set, S2/J3).
+
+    Returns (id, ts, fp) rows of surviving documents."""
+    from .ops.textstats import fingerprint
+
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(ts_col),
+            fingerprint(F.col(text_col)).alias("fp"),
+        )
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+
+
 POLITE_OUT = "host string, url string, priority double, admitted_ts double"
 POLITE_STATE = (
     "last_ts double, credit double, "

@@ -247,3 +247,58 @@ def test_stream_source_schema(spark, tmp_path):
     assert [f.name for f in src.schema.fields] == [
         f.name for f in schemas.PAGES.fields
     ]
+
+
+def test_dedup_exact_stream_matches_batch(spark, tmp_path):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark on the
+    content fingerprint): exactly one survivor per fingerprint, and
+    under in-order replay (later files carry the higher doc_ids) the
+    survivor set equals the batch exact_dedup keepers (min doc_id
+    per fingerprint)."""
+    import pandas as pd
+
+    from crawler_spark.ops import dedup as dedup_ops
+
+    rows, did = [], 0
+    for b, texts in (
+        (0, ["alpha text", "beta text", "gamma text"]),
+        (1, ["alpha text", "delta text", "beta text"]),
+    ):
+        for t in texts:
+            rows.append(
+                {
+                    "doc_id": did,
+                    "text": t,
+                    "ingest_ts": dt.datetime(2025, 6, 1, 0, 0, b * 30),
+                    "batch": b,
+                }
+            )
+            did += 1
+    pdf = pd.DataFrame(rows)
+    src = str(tmp_path / "docs")
+    for b in (0, 1):
+        spark.createDataFrame(pdf[pdf.batch == b].drop(columns=["batch"])) \
+            .coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ingest_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming.dedup_exact_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from dedup_stream").collect()
+    fps = [r.fp for r in got]
+    assert len(fps) == len(set(fps))  # one survivor per fingerprint
+    batch_docs = spark.createDataFrame(pdf.drop(columns=["batch"]))
+    keepers = {
+        int(r["keeper_id"]) for r in dedup_ops.exact_dedup(batch_docs).collect()
+    }
+    assert {int(r.doc_id) for r in got} == keepers == {0, 1, 2, 4}
