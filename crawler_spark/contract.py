@@ -298,6 +298,15 @@ def q_dedup_lsh_jaccard_verified(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup clustering: LSH candidates -> exact
+    Jaccard verify -> connected components (large-star/small-star)
+    -> keep-the-longest per cluster. One row per document."""
+    return dedup.dedup_clusters(
+        _t(spark, sf_dir, "documents"), n_hashes=16, bands=4, threshold=0.6
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash(_t(spark, sf_dir, "documents"), n_bits=64)
 
@@ -452,6 +461,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_lsh_jaccard_verified": q_dedup_lsh_jaccard_verified,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
@@ -725,6 +735,51 @@ from j_inter
 join j_sizes sa on sa.doc_id = doc_a
 join j_sizes sb on sb.doc_id = doc_b
 where inter / (sa.sz + sb.sz - inter * 1.0) >= 0.6
+""",
+    # same pipeline as dedup_lsh_jaccard_verified, then the near-dup
+    # relation is closed transitively with a recursive CTE (min
+    # reachable doc_id = the component id) and one keeper per
+    # component is picked by (text length desc, doc_id asc) —
+    # mirroring ops.dedup.dedup_clusters exactly.
+    "dedup_clusters": f"""
+with recursive cand as ({_minhash_sql(16, 4)}),
+ c_sh as (select doc_id, lower(text) lt from documents),
+ c_shingles as (
+  select distinct doc_id, substring(lt, i, 3) as shingle
+  from c_sh, unnest(generate_series(1, greatest(length(lt) - 2, 1))) as t(i)
+), c_sizes as (select doc_id, count(*) sz from c_shingles group by doc_id),
+ c_inter as (
+  select c.doc_a, c.doc_b, count(*) as inter
+  from cand c
+  join c_shingles a on a.doc_id = c.doc_a
+  join c_shingles b on b.doc_id = c.doc_b and b.shingle = a.shingle
+  group by 1, 2
+), pairs as (
+  select doc_a, doc_b from c_inter
+  join c_sizes sa on sa.doc_id = doc_a
+  join c_sizes sb on sb.doc_id = doc_b
+  where inter / (sa.sz + sb.sz - inter * 1.0) >= 0.6
+), sym as (
+  select doc_a as u, doc_b as v from pairs
+  union
+  select doc_b as u, doc_a as v from pairs
+), reach as (
+  select doc_id as src, doc_id as dst from documents
+  union
+  select r.src, s.v from reach r join sym s on s.u = r.dst
+), comp as (
+  select src as doc_id, min(dst) as component_id from reach group by src
+), ranked as (
+  select c.doc_id, c.component_id,
+         row_number() over (partition by c.component_id
+                            order by length(d.text) desc, c.doc_id) rn
+  from comp c join documents d using (doc_id)
+), keep as (
+  select component_id, doc_id as keeper_id from ranked where rn = 1
+)
+select c.doc_id, c.component_id, k.keeper_id,
+       (c.doc_id <> k.keeper_id) as is_dup
+from comp c join keep k using (component_id)
 """,
     "text_stats": f"""
 with base as (

@@ -354,3 +354,151 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(node, component_id) for every node appearing in `pairs`;
+    component_id = the minimum node id reachable through the pair
+    graph. Alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    published O(log^2 n)-round, shuffle-only CC algorithm. Each round
+    is two hash-aggregations plus co-partitioned self-joins keyed on
+    node id; no collect, no per-row Python, and — unlike naive label
+    propagation — a giant component converges without ever funneling
+    its whole edge set through one task (the stars re-balance the
+    degree skew every round). Lineage is truncated per round
+    (localCheckpoint) so the plan stays flat across iterations.
+
+    Convergence is detected by an order-independent edge-set digest
+    (count + sum of xxhash64(u, v)); at the fixpoint the edge set is
+    exactly the star forest u -> component-min, so the final groupBy
+    min is a no-op safety net for a max_iters cutoff.
+    """
+    edges = (
+        pairs.select(
+            F.col(a_col).cast("long").alias("u"),
+            F.col(b_col).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def digest(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+            F.bit_xor(F.xxhash64("v", "u", F.lit(7))).alias("h2"),
+        ).collect()[0]
+        return (row["n"], row["h"], row["h2"])
+
+    prev = None
+    for _ in range(max_iters):
+        # large-star: connect every neighbor u > v to m = min(N(v) + {v})
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        lmin = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        large = (
+            sym.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: edges now point larger -> smaller; fold every
+        # smaller neighbor (and the center) onto the minimum
+        dir_ = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        smin = dir_.groupBy("u").agg(F.min("v").alias("m"))
+        edges = (
+            dir_.join(smin, "u")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("u").alias("a"), F.col("m").alias("b")),
+                        F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
+                    )
+                ).alias("e")
+            )
+            .select(F.col("e.a").alias("u"), F.col("e.b").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = digest(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    stars = edges.groupBy(F.col("u").alias("node")).agg(
+        F.min("v").alias("component_id")
+    )
+    # the component minimum only ever appears on the v side of the
+    # star forest — add it back as its own member
+    roots = stars.select(
+        F.col("component_id").alias("node"), "component_id"
+    ).distinct()
+    return stars.unionByName(roots)
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.6,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, component_id, keeper_id, is_dup): the full corpus
+    dedup pipeline — LSH banding proposes candidate pairs, exact
+    n-gram Jaccard verifies them, connected components closes the
+    near-dup relation transitively (A~B, B~C => one cluster even when
+    A,C share no band), and ONE document per cluster is kept: the
+    longest text, ties to the smallest doc_id (the standard
+    keep-the-longest training-data heuristic). Singleton documents
+    are their own component and keeper.
+
+    `pairs` overrides the built-in LSH+Jaccard pipeline with a
+    precomputed (doc_a, doc_b) near-dup relation (e.g. simhash or
+    embedding pairs) — clustering composes with any pair source.
+    """
+    if pairs is None:
+        cand = lsh_candidate_pairs(docs, id_col, text_col, n_hashes, bands, k)
+        pairs = ngram_jaccard_pairs(
+            docs, id_col, text_col, k, threshold, candidates=cand
+        )
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    base = (
+        docs.select(F.col(id_col), F.length(text_col).alias("_tl"))
+        .join(cc, F.col(id_col) == F.col("node"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component_id", F.col(id_col)).alias("component_id"),
+            "_tl",
+        )
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("_tl").desc(), F.col(id_col).asc()
+    )
+    return (
+        base.withColumn("keeper_id", F.first(id_col).over(w))
+        .select(
+            F.col(id_col),
+            "component_id",
+            "keeper_id",
+            (F.col(id_col) != F.col("keeper_id")).alias("is_dup"),
+        )
+    )

@@ -245,3 +245,76 @@ def test_fan_out_spreads_small_scans_only(spark, tmp_path):
     # in-memory frame: no input files -> untouched
     mem = spark.createDataFrame([(1,)], "doc_id long")
     assert ops.fan_out(mem, min_partitions=8) is mem
+
+
+def test_connected_components_fixtures(spark):
+    # chain + isolated pair + 3-cycle; min id labels every component
+    pairs = spark.createDataFrame(
+        [(2, 1), (3, 2), (4, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r.node, r.component_id)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_connected_components_random_vs_union_find(spark):
+    # random sparse graph, pure-python union-find as the oracle
+    rng = np.random.default_rng(7)
+    n = 400
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, n, size=(300, 2))
+        if a != b
+    ]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    touched = {a for e in edges for a in e}
+    want = {(x, min(y for y in touched if find(y) == find(x)))
+            for x in touched}
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        (r.node, r.component_id)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == want
+
+
+def test_dedup_clusters_transitive_and_keeper(spark):
+    # shingle-Jaccard at threshold 0.9: J(1,2)=0.95, J(2,3)=0.934,
+    # but J(1,3)=0.891 < 0.9 — docs 1 and 3 are NOT a surviving pair,
+    # so only the transitive closure puts all three in one component;
+    # keeper = longest text, ties to the smallest id (1 and 3 tie)
+    y = "the quick brown fox jumps over the lazy dog again and again today "
+    docs = spark.createDataFrame(
+        [
+            (1, "zzzz " + y),
+            (2, y),
+            (3, y + "qqqq "),
+            (50, "completely different text about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.component_id, r.keeper_id, r.is_dup)
+        for r in dedup.dedup_clusters(docs, threshold=0.9).collect()
+    }
+    assert set(out) == {1, 2, 3, 50}
+    assert out[1] == (1, 1, False)
+    assert out[2] == (1, 1, True)
+    assert out[3] == (1, 1, True)
+    assert out[50] == (50, 50, False)  # singleton keeps itself
