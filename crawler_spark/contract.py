@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from . import graph, rank, seen, walks_gen
 from . import frontier as frontier_mod
+from .functions import extract as extract_mod
 from .functions.extract import is_valid_url, url_host
 from .ops import dedup, multimodal, similarity, textstats
 
@@ -269,6 +270,38 @@ def q_p6_url_validity(spark, sf_dir):
     )
 
 
+def q_url_canonicalize(spark, sf_dir):
+    """Canonical URL form ahead of the seen-set probe: messy variants
+    (case, default ports, fragments, unsorted queries) are built
+    deterministically from event user ids, then folded by
+    extract.canonical_url — pure column expressions, codegen."""
+    uid = F.col("uid")
+    messy = F.concat(
+        F.when(uid % 2 == 0, F.lit("HTTP://Node")).otherwise(
+            F.lit("http://node")
+        ),
+        uid.cast("string"),
+        F.lit(".Test"),
+        F.when(uid % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/P/"),
+        uid.cast("string"),
+        F.when(uid % 4 == 0, F.lit("?b=2&a=1"))
+        .when(uid % 4 == 1, F.lit("?a=1"))
+        .otherwise(F.lit("")),
+        F.when(uid % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("uid"))
+        .distinct()
+        .select(
+            uid,
+            messy.alias("url"),
+            extract_mod.canonical_url(messy).alias("canon"),
+        )
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
 
@@ -457,6 +490,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w3_politeness_schedule": q_w3_politeness_schedule,
     "m12_mint_node_ids": q_m12_mint_node_ids,
     "p6_url_validity": q_p6_url_validity,
+    "url_canonicalize": q_url_canonicalize,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -672,6 +706,47 @@ from urls
 where url is not null and length(url) <= 2048
   and (url like 'https://%' and length(url) > 8
        or url like 'http://%' and length(url) > 7)
+""",
+    # messy-url construction and canonical folding mirror
+    # q_url_canonicalize / functions.extract.canonical_url exactly
+    "url_canonicalize": r"""
+with u as (select distinct user_id as uid from events),
+ m as (
+  select uid,
+    (case when uid % 2 = 0 then 'HTTP://Node' else 'http://node' end)
+    || uid || '.Test'
+    || (case when uid % 3 = 0 then ':80' else '' end)
+    || '/P/' || uid
+    || (case when uid % 4 = 0 then '?b=2&a=1'
+             when uid % 4 = 1 then '?a=1' else '' end)
+    || (case when uid % 5 = 0 then '#frag' else '' end) as url
+  from u
+), s as (
+  select uid, url, split_part(url, '#', 1) as nf from m
+), p as (
+  select uid, url,
+    split_part(nf, '?', 1) as pre,
+    regexp_extract(nf, '\?(.*)$', 1) as q
+  from s
+), h as (
+  select uid, url, pre, q,
+    regexp_extract(pre, '^([A-Za-z][A-Za-z0-9+.\-]*://[^/]*)', 1) as sh
+  from p
+), c as (
+  select uid, url, q, sh,
+    substring(pre, length(sh) + 1) as rest,
+    regexp_replace(regexp_replace(lower(sh),
+      '^(http://[^:/]*):80$', '\1'),
+      '^(https://[^:/]*):443$', '\1') as shl
+  from h
+)
+select uid, url,
+  case when sh = '' then url else
+    shl || (case when rest = '' then '/' else rest end)
+    || (case when q = '' then '' else '?' ||
+        array_to_string(list_sort(string_split(q, '&')), '&') end)
+  end as canon
+from c
 """,
     "dedup_exact": """
 with fp as (select doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) f

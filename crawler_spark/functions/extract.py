@@ -85,3 +85,30 @@ def is_valid_url(col):
 def url_host(col):
     """Host component of a url (for politeness bucketing / salting)."""
     return F.regexp_extract(col, r"^https?://([^/]+)", 1)
+
+
+def canonical_url(col) -> "F.Column":
+    """Canonical URL form, entirely in column expressions (whole-stage
+    codegen; no Python): lowercase scheme+host, strip default ports
+    (http:80 / https:443), drop the fragment, ensure a '/' path after
+    a bare authority, drop an empty query, and sort query parameters
+    so `?b=2&a=1` and `?a=1&b=2` admit as ONE frontier url. Path case
+    and non-default ports are preserved (paths are case-sensitive per
+    RFC 3986). Idempotent; strings without a scheme://host prefix pass
+    through unchanged. Canonicalize BEFORE the seen-set probe so the
+    bloom/cuckoo membership is on canonical keys (the url-equivalence
+    role of nostr's fixed-format pubkey keys in the reference,
+    pkg/crawler/process.go:222-236, where no such folding is needed)."""
+    nf = F.substring_index(col, "#", 1)
+    pre = F.substring_index(nf, "?", 1)
+    q = F.regexp_extract(nf, r"\?(.*)$", 1)
+    sh = F.regexp_extract(pre, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/]*)", 1)
+    rest = F.substring(pre, F.length(sh) + F.lit(1), F.lit(MAX_URL_LEN))
+    shl = F.lower(sh)
+    shl = F.regexp_replace(shl, r"^(http://[^:/]*):80$", "$1")
+    shl = F.regexp_replace(shl, r"^(https://[^:/]*):443$", "$1")
+    path = F.when(rest == "", F.lit("/")).otherwise(rest)
+    qc = F.when(q == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(q, "&")), "&"))
+    )
+    return F.when(sh == "", col).otherwise(F.concat(shl, path, qc))

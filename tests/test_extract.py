@@ -60,3 +60,41 @@ def test_is_valid_url(spark):
 def test_url_host(spark):
     df = spark.createDataFrame(pd.DataFrame({"u": ["https://host3.test/p9"]}))
     assert df.select(extract.url_host(F.col("u"))).first()[0] == "host3.test"
+
+
+CANON_CASES = [
+    ("HTTP://Example.COM:80/Path/To/Page?b=2&a=1#frag",
+     "http://example.com/Path/To/Page?a=1&b=2"),
+    ("https://Example.com:443/", "https://example.com/"),
+    ("https://example.com:8443/x", "https://example.com:8443/x"),  # non-default port kept
+    ("http://example.com", "http://example.com/"),
+    ("http://example.com?z=1", "http://example.com/?z=1"),
+    ("https://Sub.Example.com/Path?", "https://sub.example.com/Path"),
+    ("http://example.com:80", "http://example.com/"),
+    ("https://example.com/a?b=2&a=1&c", "https://example.com/a?a=1&b=2&c"),
+    ("http://example.com/#", "http://example.com/"),
+    ("ftp://Example.com:80/x", "ftp://example.com:80/x"),  # :80 only default for http
+    ("https://example.com/path#a#b", "https://example.com/path"),
+    ("not a url", "not a url"),  # no scheme://host -> pass through
+]
+
+
+def test_canonical_url_cases(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CANON_CASES], "url string")
+    got = [
+        r.c
+        for r in df.select(
+            extract.canonical_url(F.col("url")).alias("c")
+        ).collect()
+    ]
+    assert got == [want for _, want in CANON_CASES]
+
+
+def test_canonical_url_idempotent(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CANON_CASES], "url string")
+    twice = df.select(
+        extract.canonical_url(F.col("url")).alias("once")
+    ).select(
+        "once", extract.canonical_url(F.col("once")).alias("again")
+    )
+    assert twice.filter(F.col("once") != F.col("again")).count() == 0
