@@ -350,6 +350,12 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     )
 
 
+def q_vocab_top_tokens(spark, sf_dir):
+    """Corpus vocabulary head: top-100 tokens by frequency with
+    document frequency — TakeOrderedAndProject, never a full sort."""
+    return textstats.top_tokens(_t(spark, sf_dir, "documents"), k=100)
+
+
 def q_text_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     t = F.col("text")
@@ -501,6 +507,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
     "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
     "text_stats": q_text_stats,
+    "vocab_top_tokens": q_vocab_top_tokens,
     "mm_frame_plan": q_mm_frame_plan,
     "mm_resize_plan": q_mm_resize_plan,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -855,6 +862,15 @@ with recursive cand as ({_minhash_sql(16, 4)}),
 select c.doc_id, c.component_id, k.keeper_id,
        (c.doc_id <> k.keeper_id) as is_dup
 from comp c join keep k using (component_id)
+""",
+    "vocab_top_tokens": """
+with toks as (
+  select doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) as token
+  from documents
+)
+select token, count(*) as freq, count(distinct doc_id) as n_docs
+from toks group by token
+order by freq desc, token asc limit 100
 """,
     "text_stats": f"""
 with base as (

@@ -117,3 +117,31 @@ def fingerprint(text: Column) -> Column:
     text — the canonical near-exact-dup key (whitespace and casing
     changes collapse)."""
     return F.md5(F.regexp_replace(F.lower(text), "[^a-z0-9]", ""))
+
+
+def top_tokens(
+    docs: "DataFrame",
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """(token, freq, n_docs): the corpus vocabulary head — top-k
+    alphanumeric tokens of lower(text) by total frequency, with
+    document frequency alongside (the tf/df pair vocab building and
+    stopword mining start from). Total order (freq desc, token asc)
+    makes the k-boundary deterministic.
+
+    Scale shape: explode -> ONE partial-aggregated groupBy(token) ->
+    global top-k as TakeOrderedAndProject (no full sort, no second
+    shuffle; the same plan shape gated for W2 in test_plans)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+        ).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.count("*").alias("freq"),
+        F.count_distinct(F.col(id_col)).alias("n_docs"),
+    )
+    return counts.orderBy(F.desc("freq"), F.asc("token")).limit(k)

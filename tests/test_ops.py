@@ -318,3 +318,19 @@ def test_dedup_clusters_transitive_and_keeper(spark):
     assert out[2] == (1, 1, True)
     assert out[3] == (1, 1, True)
     assert out[50] == (50, 50, False)  # singleton keeps itself
+
+
+def test_top_tokens_counts_and_plan(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Spark spark SPARK engine"),
+            (2, "spark engine, engine!"),
+            (3, "walks"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textstats.top_tokens(docs, k=2)
+    rows = [(r.token, r.freq, r.n_docs) for r in out.collect()]
+    assert rows == [("spark", 4, 2), ("engine", 3, 2)]
+    # global top-k must be TakeOrdered, never a full sort
+    assert "TakeOrderedAndProject" in out._jdf.queryExecution().executedPlan().toString()
