@@ -405,6 +405,7 @@ def admit_new_urls(
     filters_path: str | None = None,
     eager: bool = True,
     release: list | None = None,
+    canonicalize: bool = False,
 ) -> DataFrame:
     """The admission gate (S2/J3, crawler.go:94-102 inverted: we keep
     the UNKNOWN urls for discovery; `resolveIDs` keeps unknowns too,
@@ -427,7 +428,20 @@ def admit_new_urls(
       cache leak across a long crawl — the engine/bench shape.
     - `eager=False, release=None`: fully lazy — NO persist anywhere.
       Only for callers that cannot release (driver-owned contract
-      queries); the probe runs once per union branch."""
+      queries); the probe runs once per union branch.
+
+    `canonicalize=True` folds each candidate to its canonical form
+    (functions.extract.canonical_url: case, default ports, fragments,
+    query order) BEFORE deduplication and the bloom probe, so `u` and
+    `u#frag` occupy one filter slot and admit once. Off by default —
+    membership semantics change, so existing filter state built on
+    raw urls must not be probed with canonical keys."""
+    if canonicalize:
+        from .functions.extract import canonical_url
+
+        candidates = candidates.withColumn(
+            "url", canonical_url(F.col("url"))
+        ).dropDuplicates(["url"])
     probed = probe_seen(
         candidates, filters, n_buckets, filters_path=filters_path
     )

@@ -445,3 +445,28 @@ def test_incremental_filter_resize_path(spark):
     )
     fp = seen.probe_seen(fresh, f1, 4).filter(F.col("maybe_seen")).count() / 4000
     assert fp < 0.05, fp
+
+
+def test_admit_canonicalize_folds_variants(spark):
+    # seen filters built on CANONICAL urls; messy candidate variants
+    # of a seen url must not re-admit, and the two variants of one
+    # unseen url must admit exactly once, in canonical form
+    seen_urls = [f"https://h{i}.test/p{i}" for i in range(100)]
+    seen_df = spark.createDataFrame([(u,) for u in seen_urls], "url string")
+    filters = seen.build_seen_filters(seen_df, n_buckets=8)
+    cands = spark.createDataFrame(
+        [
+            ("HTTPS://H3.test:443/p3",),        # seen, messy variant
+            ("https://h4.test/p4#frag",),       # seen, fragment
+            ("https://new.test/x?b=2&a=1",),    # unseen, variant 1
+            ("HTTPS://New.test/x?a=1&b=2",),    # unseen, variant 2 (same)
+        ],
+        "url string",
+    )
+    got = sorted(
+        r.url
+        for r in seen.admit_new_urls(
+            cands, filters, seen_df, n_buckets=8, canonicalize=True
+        ).collect()
+    )
+    assert got == ["https://new.test/x?a=1&b=2"]
