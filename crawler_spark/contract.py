@@ -270,6 +270,39 @@ def q_p6_url_validity(spark, sf_dir):
     )
 
 
+_ROBOTS_RULES = [
+    ("h0.test", False, "/p/"),
+    ("h0.test", True, "/p/pub/"),     # longer allow overrides
+    ("h1.test", False, "/*.json"),    # wildcard
+    ("h2.test", False, "/x$"),        # end anchor
+    ("h3.test", False, ""),           # empty pattern = no-op
+    # h4.test: no rules -> default allow
+]
+
+
+def q_robots_verdicts(spark, sf_dir):
+    """RFC 9309 robots evaluation: deterministic urls from event ids
+    against a fixed per-host rule set (allow-override, wildcard, $
+    anchor, empty no-op, ruleless host)."""
+    m = F.pmod(F.col("user_id"), F.lit(40))
+    url = F.concat(
+        F.lit("https://h"),
+        F.pmod(m, F.lit(5)).cast("string"),
+        F.lit(".test"),
+        F.when(m % 4 == 0, F.concat(F.lit("/p/"), m.cast("string")))
+        .when(m % 4 == 1, F.concat(F.lit("/p/pub/"), m.cast("string")))
+        .when(m % 4 == 2, F.concat(F.lit("/data/"), m.cast("string"), F.lit(".json")))
+        .otherwise(F.lit("/x")),
+    )
+    urls = (
+        _t(spark, sf_dir, "events").select(url.alias("url")).distinct()
+    )
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "host string, allow boolean, pattern string"
+    )
+    return frontier_mod.robots_verdicts(urls, rules)
+
+
 def q_url_canonicalize(spark, sf_dir):
     """Canonical URL form ahead of the seen-set probe: messy variants
     (case, default ports, fragments, unsorted queries) are built
@@ -497,6 +530,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m12_mint_node_ids": q_m12_mint_node_ids,
     "p6_url_validity": q_p6_url_validity,
     "url_canonicalize": q_url_canonicalize,
+    "robots_verdicts": q_robots_verdicts,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -713,6 +747,46 @@ from urls
 where url is not null and length(url) <= 2048
   and (url like 'https://%' and length(url) > 8
        or url like 'http://%' and length(url) > 7)
+""",
+    # rule set, url construction, rx conversion, and longest-match
+    # window mirror q_robots_verdicts / frontier.robots_verdicts
+    "robots_verdicts": r"""
+with rules(host, allow, pattern) as (values
+  ('h0.test', false, '/p/'), ('h0.test', true, '/p/pub/'),
+  ('h1.test', false, '/*.json'), ('h2.test', false, '/x$'),
+  ('h3.test', false, '')),
+ rx as (
+  select host, allow, pattern,
+    '^' || regexp_replace(
+             regexp_replace(
+               regexp_replace(pattern, '([.^$+?(){}|\[\]\\])', '\\\1', 'g'),
+               '\*', '.*', 'g'),
+             '\\\$$', '$') as rx
+  from rules where length(pattern) > 0),
+ m as (select distinct user_id % 40 as m from events),
+ urls as (
+  select distinct 'https://h' || (m % 5) || '.test' ||
+    (case when m % 4 = 0 then '/p/' || m
+          when m % 4 = 1 then '/p/pub/' || m
+          when m % 4 = 2 then '/data/' || m || '.json'
+          else '/x' end) as url
+  from m),
+ base as (
+  select url,
+    regexp_extract(url, '^https?://([^/]+)', 1) as host,
+    case when regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*', '') = ''
+         then '/' else regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*', '')
+    end as path
+  from urls),
+ hit as (
+  select b.url, r.allow, r.pattern,
+    row_number() over (partition by b.url
+      order by length(r.pattern) desc, r.allow desc, r.pattern asc) as rn
+  from base b join rx r on r.host = b.host and regexp_matches(b.path, r.rx)),
+ best as (select url, allow, pattern from hit where rn = 1)
+select b.url, b.host, coalesce(best.allow, true) as allowed,
+       best.pattern as matched_rule
+from base b left join best using (url)
 """,
     # messy-url construction and canonical folding mirror
     # q_url_canonicalize / functions.extract.canonical_url exactly

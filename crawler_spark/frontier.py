@@ -93,6 +93,7 @@ def schedule_batch(
     tick_seconds: float = 60.0,
     batch_size: int = DEFAULT_BATCH,
     default_crawl_delay_s: float = DEFAULT_CRAWL_DELAY_S,
+    robots_rules: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One scheduler tick. Returns (batch, frontier').
 
@@ -104,10 +105,45 @@ def schedule_batch(
                robots-disallowed rows flipped to 'blocked'.
 
     robots is a small dimension -> broadcast join (no shuffle of the
-    frontier side beyond the per-host window)."""
+    frontier side beyond the per-host window).
+
+    `robots_rules` supersedes the single-prefix `robots=` form with
+    full RFC 9309 evaluation: a `(host, allow, pattern[,
+    crawl_delay_s])` rule set fed through robots_verdicts (multiple
+    Allow/Disallow lines, wildcards, $ anchors, longest-match with
+    allow winning ties); a per-host crawl_delay_s column, if present,
+    feeds the politeness budget."""
     queued = frontier.filter(F.col("state") == "queued")
 
-    if robots is not None:
+    if robots_rules is not None:
+        v = robots_verdicts(
+            queued.select("url"),
+            robots_rules.select("host", "allow", "pattern"),
+        )
+        blocked = v.filter(~F.col("allowed")).select("url")
+        queued = queued.join(
+            blocked.withColumn("_blocked", F.lit(True)), "url", "left"
+        ).filter(F.col("_blocked").isNull()).drop("_blocked")
+        if "crawl_delay_s" in robots_rules.columns:
+            delays = (
+                robots_rules.groupBy("host")
+                .agg(F.max("crawl_delay_s").alias("crawl_delay_s"))
+            )
+            queued = queued.join(F.broadcast(delays), "host", "left")
+            budget = F.greatest(
+                F.lit(1),
+                F.floor(
+                    F.lit(tick_seconds)
+                    / F.coalesce(
+                        "crawl_delay_s", F.lit(default_crawl_delay_s)
+                    )
+                ),
+            )
+        else:
+            budget = F.greatest(
+                F.lit(1), F.floor(F.lit(tick_seconds / default_crawl_delay_s))
+            )
+    elif robots is not None:
         r = F.broadcast(robots.select("host", "disallow_prefix", "crawl_delay_s"))
         queued = queued.join(r, "host", "left")
         # path = url minus scheme+host; regexp (not a fixed offset) so
@@ -373,3 +409,75 @@ def change_ratio(walks_changed: int, total_visits_: int, alpha: float) -> float:
     count via the mean-length identity."""
     total_walks = total_visits_ * (1.0 - alpha)
     return walks_changed / total_walks if total_walks > 0 else 0.0
+
+
+# ---- RFC 9309 robots matching ----
+
+def robots_pattern_rx(pattern):
+    """Robots-rule pattern -> anchored regex, in column expressions:
+    regex specials escaped, `*` -> `.*`, a trailing `$` kept as the
+    end anchor (RFC 9309 §2.2.3), everything prefix-anchored with
+    `^`. Built on the (small, broadcast) rules side — the frontier
+    side never runs per-row string surgery."""
+    esc = F.regexp_replace(pattern, r"([.^$+?(){}|\[\]\\])", r"\\$1")
+    star = F.regexp_replace(esc, r"\*", ".*")
+    anchored = F.regexp_replace(star, r"\\\$$", r"\$")
+    return F.concat(F.lit("^"), anchored)
+
+
+def robots_verdicts(
+    urls: DataFrame,
+    rules: DataFrame,
+) -> DataFrame:
+    """(url, host, allowed, matched_rule): RFC 9309 robots evaluation
+    of each url against a per-host rule set `(host, allow boolean,
+    pattern string)` — multiple Allow/Disallow lines per host, `*`
+    wildcards, `$` end anchors, longest-match precedence with allow
+    winning length ties (§2.2.2), default-allow when nothing matches
+    (including hosts with no rules at all). Empty patterns are
+    no-ops (an empty Disallow traditionally means "disallow
+    nothing"). This generalizes the single-prefix `robots=` argument
+    of schedule_batch; feed `allowed == false` urls to the 'blocked'
+    state transition.
+
+    Scale shape: rules are a broadcast dimension (a robots.txt is
+    ~KBs/host); the only frontier-side work is the broadcast join,
+    one regex match per (url, host-rule), and a per-url window on the
+    few matching rules. No shuffle of the frontier beyond the window
+    on url."""
+    path_raw = F.regexp_replace("url", r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*", "")
+    base = urls.select(
+        "url",
+        url_host(F.col("url")).alias("host"),
+        F.when(path_raw == "", F.lit("/")).otherwise(path_raw).alias("_path"),
+    )
+    r = (
+        rules.filter(F.length("pattern") > 0)
+        .select(
+            "host",
+            F.col("allow").cast("boolean").alias("allow"),
+            "pattern",
+            robots_pattern_rx(F.col("pattern")).alias("_rx"),
+        )
+    )
+    joined = base.join(F.broadcast(r), "host", "left")
+    hit = joined.filter(
+        F.col("pattern").isNotNull() & F.expr("_path rlike _rx")
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.length("pattern").desc(), F.col("allow").desc(), F.col("pattern").asc()
+    )
+    best = (
+        hit.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("url", F.col("allow").alias("_allow"), F.col("pattern").alias("matched_rule"))
+    )
+    return (
+        base.join(best, "url", "left")
+        .select(
+            "url",
+            "host",
+            F.coalesce("_allow", F.lit(True)).alias("allowed"),
+            "matched_rule",
+        )
+    )

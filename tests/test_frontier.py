@@ -470,3 +470,81 @@ def test_admit_canonicalize_folds_variants(spark):
         ).collect()
     )
     assert got == ["https://new.test/x?a=1&b=2"]
+
+
+def test_robots_verdicts_rfc9309(spark):
+    rules = spark.createDataFrame(
+        [
+            ("a.test", False, "/p/"),
+            ("a.test", True, "/p/pub/"),   # longer allow overrides
+            ("b.test", False, "/*.json"),  # wildcard
+            ("c.test", False, "/x$"),      # end anchor
+            ("d.test", False, ""),         # empty pattern = no-op
+        ],
+        "host string, allow boolean, pattern string",
+    )
+    urls = spark.createDataFrame(
+        [(u,) for u in [
+            "https://a.test/p/secret",
+            "https://a.test/p/pub/ok",
+            "https://a.test/other",
+            "https://b.test/data/f.json",
+            "https://b.test/data/f.html",
+            "https://c.test/x",
+            "https://c.test/xy",
+            "https://d.test/anything",
+            "https://e.test/no-rules",
+        ]],
+        "url string",
+    )
+    got = {
+        r.url: (r.allowed, r.matched_rule)
+        for r in frontier.robots_verdicts(urls, rules).collect()
+    }
+    assert got == {
+        "https://a.test/p/secret": (False, "/p/"),
+        "https://a.test/p/pub/ok": (True, "/p/pub/"),
+        "https://a.test/other": (True, None),
+        "https://b.test/data/f.json": (False, "/*.json"),
+        "https://b.test/data/f.html": (True, None),
+        "https://c.test/x": (False, "/x$"),
+        "https://c.test/xy": (True, None),
+        "https://d.test/anything": (True, None),
+        "https://e.test/no-rules": (True, None),
+    }
+
+
+def test_schedule_batch_with_rfc9309_rules(spark):
+    now = dt.datetime(2025, 6, 1, tzinfo=dt.timezone.utc)
+    urls = [
+        "https://a.test/p/secret",   # disallowed
+        "https://a.test/p/pub/ok",   # allow override
+        "https://b.test/data/x.json",  # wildcard disallowed
+        "https://b.test/ok",
+    ]
+    fr = frontier.enqueue(
+        None,
+        spark.createDataFrame(
+            [(u, i) for i, u in enumerate(urls)], "url string, node_id long"
+        ),
+        now,
+    )
+    rules = spark.createDataFrame(
+        [
+            ("a.test", False, "/p/", 1.0),
+            ("a.test", True, "/p/pub/", 1.0),
+            ("b.test", False, "/*.json", 1.0),
+        ],
+        "host string, allow boolean, pattern string, crawl_delay_s double",
+    )
+    batch, updated = frontier.schedule_batch(
+        fr, None, now, batch_size=10, robots_rules=rules
+    )
+    assert sorted(r.url for r in batch.collect()) == [
+        "https://a.test/p/pub/ok",
+        "https://b.test/ok",
+    ]
+    states = {r.url: r.state for r in updated.collect()}
+    assert states["https://a.test/p/secret"] == "blocked"
+    assert states["https://b.test/data/x.json"] == "blocked"
+    assert states["https://a.test/p/pub/ok"] == "fetched"
