@@ -303,6 +303,30 @@ def q_robots_verdicts(spark, sf_dir):
     return frontier_mod.robots_verdicts(urls, rules)
 
 
+def q_robots_parse(spark, sf_dir):
+    """robots.txt parsing: deterministic one-group bodies built from
+    event ids, parsed by frontier.parse_robots (Arrow mapInPandas);
+    the oracle regenerates the rule rows from the same structure —
+    the general parser (group selection, comments, multi-agent) is
+    gated by the pytest fixtures instead."""
+    m = F.pmod(F.col("user_id"), F.lit(40))
+    ms = m.cast("string")
+    txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /p/"), ms,
+        F.lit("\nAllow: /p/"), ms, F.lit("/pub/\nCrawl-delay: "),
+        (1 + m % 3).cast("string"),
+    )
+    docs = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.concat(F.lit("h"), ms, F.lit(".test")).alias("host"),
+            txt.alias("robots_txt"),
+        )
+        .distinct()
+    )
+    return frontier_mod.parse_robots(docs, user_agent="anybot")
+
+
 def q_url_canonicalize(spark, sf_dir):
     """Canonical URL form ahead of the seen-set probe: messy variants
     (case, default ports, fragments, unsorted queries) are built
@@ -531,6 +555,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p6_url_validity": q_p6_url_validity,
     "url_canonicalize": q_url_canonicalize,
     "robots_verdicts": q_robots_verdicts,
+    "robots_parse": q_robots_parse,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -747,6 +772,17 @@ from urls
 where url is not null and length(url) <= 2048
   and (url like 'https://%' and length(url) > 8
        or url like 'http://%' and length(url) > 7)
+""",
+    # regenerates q_robots_parse's fixed one-group structure
+    "robots_parse": """
+with m as (select distinct user_id % 40 as m from events)
+select 'h' || m || '.test' as host, false as allow,
+       '/p/' || m as pattern, cast(1 + m % 3 as double) as crawl_delay_s
+from m
+union all
+select 'h' || m || '.test', true, '/p/' || m || '/pub/',
+       cast(1 + m % 3 as double)
+from m
 """,
     # rule set, url construction, rx conversion, and longest-match
     # window mirror q_robots_verdicts / frontier.robots_verdicts

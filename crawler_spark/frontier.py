@@ -481,3 +481,104 @@ def robots_verdicts(
             "matched_rule",
         )
     )
+
+
+def _parse_robots_one(text: str, user_agent: str) -> list:
+    """RFC 9309 group selection + rule extraction for one robots.txt
+    body: rules come from the group(s) whose user-agent line is the
+    LONGEST match for `user_agent` (exact product token or '*';
+    §2.2.1), consecutive user-agent lines share one group, matching
+    is case-insensitive on field names, inline '#' comments are
+    stripped. Returns [(allow, pattern, crawl_delay_s)]."""
+    groups: list[tuple[list, list, float | None]] = []  # (agents, rules, delay)
+    agents: list[str] = []
+    rules: list[tuple[bool, str]] = []
+    delay: float | None = None
+    in_group_body = False
+
+    def flush():
+        nonlocal agents, rules, delay, in_group_body
+        if agents:
+            groups.append((agents, rules, delay))
+        agents, rules, delay, in_group_body = [], [], None, False
+
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if in_group_body:
+                flush()
+            agents.append(value.lower())
+        elif field in ("allow", "disallow"):
+            in_group_body = True
+            if value:
+                rules.append((field == "allow", value))
+        elif field == "crawl-delay":
+            in_group_body = True
+            try:
+                delay = float(value)
+            except ValueError:
+                pass
+    flush()
+
+    ua = user_agent.lower()
+    best_len, best = -1, None
+    for g_agents, g_rules, g_delay in groups:
+        for a in g_agents:
+            if a == "*":
+                match_len = 0
+            elif ua.startswith(a):
+                match_len = len(a)
+            else:
+                continue
+            if match_len > best_len:
+                best_len, best = match_len, (g_rules, g_delay)
+    if best is None:
+        return []
+    g_rules, g_delay = best
+    return [(allow, pat, g_delay) for allow, pat in g_rules] or (
+        [(True, "/", g_delay)] if g_delay is not None else []
+    )
+
+
+def parse_robots(
+    robots_docs: DataFrame,
+    user_agent: str = "*",
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, allow, pattern, crawl_delay_s): fetched robots.txt
+    bodies -> the rule-set dimension robots_verdicts /
+    schedule_batch(robots_rules=) consume. One Arrow batch per
+    partition (mapInPandas), no shuffle — robots bodies are already
+    host-keyed and the output is a per-host dimension (~KBs/host, the
+    broadcast side downstream). Group selection follows RFC 9309
+    longest-agent-match; hosts whose file yields no applicable group
+    produce no rows (downstream default-allow)."""
+    import pandas as pd
+
+    out_schema = (
+        f"{host_col} string, allow boolean, pattern string, "
+        "crawl_delay_s double"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for host, text in zip(pdf[host_col], pdf[text_col]):
+                for allow, pattern, delay in _parse_robots_one(
+                    text, user_agent
+                ):
+                    rows.append((host, allow, pattern, delay))
+            yield pd.DataFrame(
+                rows,
+                columns=[host_col, "allow", "pattern", "crawl_delay_s"],
+            )
+
+    return robots_docs.select(host_col, text_col).mapInPandas(
+        gen, schema=out_schema
+    )

@@ -548,3 +548,62 @@ def test_schedule_batch_with_rfc9309_rules(spark):
     assert states["https://a.test/p/secret"] == "blocked"
     assert states["https://b.test/data/x.json"] == "blocked"
     assert states["https://a.test/p/pub/ok"] == "fetched"
+
+
+ROBOTS_TXT = """\
+# comments and blank lines ignored
+
+User-agent: googlebot
+Disallow: /google-only/
+
+User-agent: crawler-spark
+User-agent: otherbot
+Disallow: /private/    # inline comment
+Allow: /private/press/
+Crawl-delay: 2.5
+Disallow:
+
+User-agent: *
+Disallow: /everything-else/
+"""
+
+
+def test_parse_robots_group_selection(spark):
+    docs = spark.createDataFrame(
+        [("a.test", ROBOTS_TXT), ("empty.test", ""), ("junk.test", "no colons here")],
+        "host string, robots_txt string",
+    )
+    # specific agent: longest-matching group (shared by two agents);
+    # empty Disallow line is a no-op, crawl-delay rides every rule
+    got = sorted(
+        (r.host, r.allow, r.pattern, r.crawl_delay_s)
+        for r in frontier.parse_robots(docs, user_agent="crawler-spark").collect()
+    )
+    assert got == [
+        ("a.test", False, "/private/", 2.5),
+        ("a.test", True, "/private/press/", 2.5),
+    ]
+    # unknown agent falls to the * group
+    star = sorted(
+        (r.host, r.allow, r.pattern, r.crawl_delay_s)
+        for r in frontier.parse_robots(docs, user_agent="somebody").collect()
+    )
+    assert star == [("a.test", False, "/everything-else/", None)]
+
+
+def test_parse_robots_feeds_verdicts(spark):
+    docs = spark.createDataFrame(
+        [("a.test", ROBOTS_TXT)], "host string, robots_txt string"
+    )
+    rules = frontier.parse_robots(docs, user_agent="crawler-spark")
+    urls = spark.createDataFrame(
+        [("https://a.test/private/x",), ("https://a.test/private/press/y",),
+         ("https://a.test/open",)],
+        "url string",
+    )
+    got = {r.url: r.allowed for r in frontier.robots_verdicts(urls, rules).collect()}
+    assert got == {
+        "https://a.test/private/x": False,
+        "https://a.test/private/press/y": True,
+        "https://a.test/open": True,
+    }
