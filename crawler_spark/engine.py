@@ -389,9 +389,18 @@ class CrawlEngine:
 
     # ---- the epoch ----
 
-    def run_epoch(self, web: DataFrame, now: _dt.datetime, robots: DataFrame | None = None) -> dict:
+    def run_epoch(
+        self,
+        web: DataFrame,
+        now: _dt.datetime,
+        robots: DataFrame | None = None,
+        robots_rules: DataFrame | None = None,
+    ) -> dict:
         """One full epoch against a `web` pages corpus
-        (url, warc_ts, html, text, lang). Returns the metrics dict."""
+        (url, warc_ts, html, text, lang). Returns the metrics dict.
+        `robots` is the single-prefix dimension; `robots_rules` the
+        full RFC 9309 rule set (host, allow, pattern[, crawl_delay_s])
+        — e.g. frontier.parse_robots output — and supersedes it."""
         self.epoch += 1
         batch, self.frontier = frontier_mod.schedule_batch(
             self.frontier,
@@ -399,8 +408,9 @@ class CrawlEngine:
             now,
             tick_seconds=self.tick_seconds,
             batch_size=self.batch_size,
+            robots_rules=robots_rules,
         )
-        if robots is not None:
+        if robots is not None or robots_rules is not None:
             # robots may flip arbitrary queued rows to 'blocked' —
             # conservatively commit the frontier in full
             self._frontier_dirty = None

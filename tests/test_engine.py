@@ -300,3 +300,28 @@ def test_standalone_process_pages_never_remints_existing_ids(spark, tmp_path):
     assert len(set(ids.values())) == len(ids)  # no aliased ids
     assert ids[datagen.node_url(5)] == 2
     assert eng.next_node_id == 3
+
+
+def test_run_epoch_with_robots_rules(spark, tmp_path):
+    """run_epoch with the full RFC 9309 rule set: a wildcard Disallow
+    blocks, a longer Allow overrides, blocked urls are never fetched,
+    and the frontier commits in full."""
+    import pyspark.sql.functions as Fn
+
+    web, follows = _web(spark)
+    eng = _mk(spark, tmp_path, "robots_rules")
+    eng.bootstrap([datagen.node_url(i) for i in (0, 1, 2)], NOW)
+    rules = spark.createDataFrame(
+        [("node1.test", False, "/*")],  # wildcard-block ALL of node1.test
+        "host string, allow boolean, pattern string",
+    )
+    s = eng.run_epoch(
+        web, NOW + dt.timedelta(minutes=1), robots_rules=rules
+    )
+    st = {
+        r.url: r.state for r in eng.frontier.select("url", "state").collect()
+    }
+    assert st[datagen.node_url(1)] == "blocked"
+    assert st[datagen.node_url(0)] == "fetched"
+    assert eng.edges.filter(Fn.col("src") == 1).count() == 0
+    assert s["scheduled"] == 2
