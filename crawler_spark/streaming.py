@@ -27,6 +27,8 @@ from __future__ import annotations
 
 import datetime as _dt
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -308,3 +310,103 @@ def run_ingest_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+LSH_PAIRS_OUT = "doc_a long, doc_b long"
+LSH_BUCKET_STATE = "members array<long>"
+
+
+def lsh_pairs_stream(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    bucket_cap: int = 64,
+):
+    """Streaming MinHash-LSH near-dup candidate pairs: as documents
+    arrive, each lands in `bands` band buckets and pairs with every
+    document ALREADY RESIDENT in the bucket — including arrivals from
+    earlier micro-batches (the cross-batch memory batch
+    `lsh_candidate_pairs` gets for free by seeing the whole corpus).
+    Custom stateful operator: applyInPandasWithState keyed by
+    (band, key); state = the bucket's resident doc ids.
+
+    Signatures are computed per document row in ONE Arrow pass (no
+    streaming aggregation): the same md5-word construction as
+    ops.dedup.minhash_signatures — 4 hash words per md5, sig[h] = min
+    over shingles of word h%4 of md5(shingle || '#' h//4) — so
+    streamed band keys are byte-identical to batch (parity-gated).
+
+    State is BOUNDED at `bucket_cap` resident ids per bucket (FIFO of
+    first arrivals): a degenerate bucket (boilerplate shingle, hash
+    pileup) holds cap ids, and later arrivals still pair against
+    those residents without growing state — the same bounded-memory
+    trade as the exact-dedup watermark. Below cap, emitted pairs
+    (dedup'd across bands) EQUAL the batch pairs over the union of
+    all micro-batches (the stream-vs-batch gate).
+
+    A pair surfacing in several shared bands is emitted once per
+    band; dedup downstream (exactly as the batch op's final
+    .distinct()) — a streaming global distinct would shuffle-dedup
+    every trigger for no correctness gain before verification."""
+    import hashlib
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import ArrayType, StringType
+
+    r = n_hashes // bands
+    assert n_hashes % bands == 0
+    n_md5 = (n_hashes + 3) // 4
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _band_keys(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            t = (t or "").lower()
+            n = max(len(t) - (k - 1), 1)
+            shingles = {t[i : i + k] for i in range(n)}
+            digs = [
+                [
+                    hashlib.md5((s + f"#{j}").encode()).hexdigest()
+                    for j in range(n_md5)
+                ]
+                for s in shingles
+            ]
+            sig = [
+                min(d[h // 4][8 * (h % 4) : 8 * (h % 4) + 8] for d in digs)
+                for h in range(n_hashes)
+            ]
+            out.append(
+                ["|".join(sig[b * r : (b + 1) * r]) for b in range(bands)]
+            )
+        return pd.Series(out, index=text.index, dtype=object)
+
+    band_rows = docs.select(
+        F.col("doc_id"),
+        F.posexplode(_band_keys(F.col("text"))).alias("band", "key"),
+    )
+
+    def bucket(key, pdf_iter, state):
+        members = list(state.get[0]) if state.exists else []
+        pairs_a, pairs_b = [], []
+        for pdf in pdf_iter:
+            for doc in sorted(int(d) for d in pdf["doc_id"]):
+                if doc in members:
+                    continue
+                for m in members:
+                    lo, hi = (m, doc) if m < doc else (doc, m)
+                    pairs_a.append(lo)
+                    pairs_b.append(hi)
+                if len(members) < bucket_cap:
+                    members.append(doc)
+        state.update((members,))
+        if pairs_a:
+            yield pd.DataFrame({"doc_a": pairs_a, "doc_b": pairs_b})
+
+    return band_rows.groupBy("band", "key").applyInPandasWithState(
+        bucket,
+        outputStructType=LSH_PAIRS_OUT,
+        stateStructType=LSH_BUCKET_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

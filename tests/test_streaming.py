@@ -302,3 +302,66 @@ def test_dedup_exact_stream_matches_batch(spark, tmp_path):
         int(r["keeper_id"]) for r in dedup_ops.exact_dedup(batch_docs).collect()
     }
     assert {int(r.doc_id) for r in got} == keepers == {0, 1, 2, 4}
+
+
+def test_lsh_pairs_stream_matches_batch(spark, tmp_path):
+    """Streaming MinHash-LSH candidate pairs (stateful band buckets):
+    pairs found across TWO micro-batches — including cross-batch
+    pairs via bucket state — equal batch lsh_candidate_pairs over the
+    union of both batches (below bucket_cap the equality is exact)."""
+    import pandas as pd
+
+    from crawler_spark.ops import dedup as dedup_ops
+
+    base = "the quick brown fox jumps over the lazy dog again today "
+    rows = []
+    texts = {
+        0: base,                      # batch 0
+        1: base + "zz ",              # batch 0, near-dup of 0
+        2: "completely different words about spark engines here",  # b0
+        3: base + "qq ",              # batch 1, near-dup of 0 and 1
+        4: "completely different words about spark engines here!",  # b1 ~2
+        5: "unrelated third topic entirely separate content",       # b1
+    }
+    for did, t in texts.items():
+        rows.append(
+            {
+                "doc_id": did,
+                "text": t,
+                "batch": 0 if did < 3 else 1,
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    src = str(tmp_path / "lshdocs")
+    for b in (0, 1):
+        spark.createDataFrame(pdf[pdf.batch == b].drop(columns=["batch"])) \
+            .coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming.lsh_pairs_stream(stream, n_hashes=16, bands=4)
+        .writeStream.format("memory")
+        .queryName("lsh_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_lsh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in spark.sql("select * from lsh_stream").collect()
+    }
+    batch_docs = spark.createDataFrame(pdf.drop(columns=["batch"]))
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ops.lsh_candidate_pairs(
+            batch_docs, n_hashes=16, bands=4
+        ).collect()
+    }
+    assert got == want
+    # the cross-batch near-dup pair must be present (state memory)
+    assert (0, 3) in got and (2, 4) in got
