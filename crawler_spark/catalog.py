@@ -248,3 +248,82 @@ class Catalog:
         for s in snaps[:-keep] if keep > 0 else []:
             if os.path.isdir(s["path"]):
                 shutil.rmtree(s["path"], ignore_errors=True)
+
+    # ---- lineage (north_star: resumable crawls with per-partition
+    # lineage + metrics; the manifest keeps full history even after
+    # _vacuum drops old version DIRS) ----
+
+    LINEAGE_SCHEMA = (
+        "table string, version int, epoch int, n_rows long, "
+        "created_unix double, n_files int, bytes long, "
+        "changed_buckets array<int>, metrics string"
+    )
+    FILE_LINEAGE_SCHEMA = (
+        "table string, version int, epoch int, file string, "
+        "bucket int, bytes long, rewritten boolean"
+    )
+
+    def lineage(self, spark: SparkSession, table: str | None = None) -> DataFrame:
+        """Snapshot-level lineage as a queryable DataFrame: one row
+        per committed version with its epoch, row count, file
+        count/bytes, the bucket partitions that commit actually
+        REWROTE (null = full snapshot), and the commit metrics as a
+        JSON string. Driver-side manifest scan — manifests are
+        O(tables x versions) JSON, never data files."""
+        rows = []
+        for t in [table] if table is not None else self.tables():
+            for s in self._load_manifest(t):
+                m = s.get("metrics") or {}
+                cb = m.get("changed_buckets")
+                rows.append(
+                    (
+                        t,
+                        int(s["version"]),
+                        int(s["epoch"]),
+                        int(s["n_rows"]),
+                        float(s["created_unix"]),
+                        len(s.get("files", [])),
+                        sum(int(f["bytes"]) for f in s.get("files", [])),
+                        None if cb is None else [int(b) for b in cb],
+                        json.dumps(m, sort_keys=True),
+                    )
+                )
+        return spark.createDataFrame(rows, schema=self.LINEAGE_SCHEMA)
+
+    def file_lineage(self, spark: SparkSession, table: str) -> DataFrame:
+        """Per-partition file lineage for one table: every data file
+        of every version, its bucket (parsed from the Hive-style
+        partition dir; null for unpartitioned tables), and whether
+        that version REWROTE the file's bucket (false = inherited by
+        hardlink from the previous snapshot — the partial-commit
+        audit trail)."""
+        rows = []
+        for s in self._load_manifest(table):
+            m = s.get("metrics") or {}
+            cb = m.get("changed_buckets")
+            changed = None if cb is None else {int(b) for b in cb}
+            for f in s.get("files", []):
+                rel = f["path"]
+                bucket = None
+                if "=" in rel.split("/", 1)[0]:
+                    try:
+                        bucket = int(rel.split("/", 1)[0].split("=", 1)[1])
+                    except ValueError:
+                        bucket = None
+                rewritten = (
+                    True
+                    if changed is None  # full snapshot
+                    else (bucket is not None and bucket in changed)
+                )
+                rows.append(
+                    (
+                        table,
+                        int(s["version"]),
+                        int(s["epoch"]),
+                        rel,
+                        bucket,
+                        int(f["bytes"]),
+                        rewritten,
+                    )
+                )
+        return spark.createDataFrame(rows, schema=self.FILE_LINEAGE_SCHEMA)

@@ -607,3 +607,29 @@ def test_parse_robots_feeds_verdicts(spark):
         "https://a.test/private/press/y": True,
         "https://a.test/open": True,
     }
+
+
+def test_catalog_lineage_queryable(spark, tmp_path):
+    """lineage()/file_lineage(): the manifest history surfaces as
+    DataFrames — full snapshots carry null changed_buckets, partial
+    commits list exactly the rewritten buckets, and file_lineage
+    marks hardlink-inherited files rewritten=false."""
+    cat = catalog.Catalog(str(tmp_path / "tables"))
+    df1 = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 4).cast("int").alias("bucket")
+    )
+    cat.write("t", df1, epoch=1, partition_by=["bucket"])
+    df2 = df1.withColumn(
+        "k", F.when(F.col("bucket") == 2, F.col("k") + 1000).otherwise(F.col("k"))
+    )
+    cat.write_partial("t", df2, [2], epoch=2, metrics={"deltas": 25})
+    lin = {r.version: r for r in cat.lineage(spark, "t").collect()}
+    assert lin[0].changed_buckets is None       # full snapshot
+    assert lin[1].changed_buckets == [2]        # partial commit
+    assert lin[1].epoch == 2 and lin[1].n_rows == 100
+    assert '"deltas": 25' in lin[1].metrics
+    fl = cat.file_lineage(spark, "t")
+    v1 = {(r.bucket, r.rewritten) for r in fl.filter("version = 1").collect()}
+    assert (2, True) in v1
+    assert {(b, False) for b in (0, 1, 3)} <= v1
+    assert all(r.rewritten for r in fl.filter("version = 0").collect())
