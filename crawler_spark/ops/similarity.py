@@ -262,14 +262,26 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_iters: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Inverted-file ANN: spherical-k-means centroids (hash-sample
     init + Lloyd rounds, `kmeans_centroids`); every vector indexes to
     its nearest centroid; queries scan their `nprobe` nearest cells.
-    One small broadcast (the centroids) + per-cell joins."""
-    cent = kmeans_centroids(
-        corpus, n_cells, n_iters=n_iters, seed=seed,
-        id_col=id_col, vec_col=vec_col,
+    One small broadcast (the centroids) + per-cell joins.
+
+    `centroids` reuses a trained (cell, centroid) table — train ONCE
+    with kmeans_centroids, persist via the catalog, and serve every
+    later query batch without re-running Lloyd rounds over the corpus
+    (at 100 TB the training scan dominates a query batch by orders of
+    magnitude; the index is the durable artifact, exactly like a
+    faiss IVF index file)."""
+    cent = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(
+            corpus, n_cells, n_iters=n_iters, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
     )
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("cv"))
     assign_w = Window.partitionBy(id_col).orderBy(F.desc("cos_c"), F.asc("cell"))

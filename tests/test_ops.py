@@ -334,3 +334,25 @@ def test_top_tokens_counts_and_plan(spark):
     assert rows == [("spark", 4, 2), ("engine", 3, 2)]
     # global top-k must be TakeOrdered, never a full sort
     assert "TakeOrderedAndProject" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ivf_centroid_reuse_identical_and_persistable(emb, tmp_path):
+    """ivf_topk(centroids=): a trained centroid table round-tripped
+    through a catalog commit serves queries with results identical to
+    in-line training (same seed) — the train-once/serve-many path."""
+    from crawler_spark import catalog
+
+    df, _ = emb
+    spark = df.sparkSession
+    q = df.filter("vec_id < 5")
+    inline = similarity.ivf_topk(df, q, n_cells=8, nprobe=4, k=3, seed=42)
+    cent = similarity.kmeans_centroids(df, 8, n_iters=2, seed=42)
+    cat = catalog.Catalog(str(tmp_path / "tables"))
+    cat.write("ivf_centroids", cent, epoch=1)
+    reloaded = cat.read(spark, "ivf_centroids")
+    reused = similarity.ivf_topk(
+        df, q, n_cells=8, nprobe=4, k=3, centroids=reloaded
+    )
+    a = sorted((r.query_id, r.vec_id, r.rn) for r in inline.collect())
+    b = sorted((r.query_id, r.vec_id, r.rn) for r in reused.collect())
+    assert a == b
