@@ -30,11 +30,16 @@ from .textstats import fingerprint
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, keeper_id, is_dup): keeper = min doc_id among identical
-    normalized texts. One shuffle (the window on the fingerprint)."""
-    w = Window.partitionBy("fp")
+    normalized texts. Keeper selection is a map-side-combining
+    aggregation + co-partitioned join, NOT a window over the
+    fingerprint: a degenerate dup group (billions of empty /
+    boilerplate docs sharing one fp) would funnel a window's whole
+    partition through one task, while the agg ships <= partitions
+    partial minima per fp."""
+    fps = docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    keepers = fps.groupBy("fp").agg(F.min(id_col).alias("keeper_id"))
     return (
-        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
-        .withColumn("keeper_id", F.min(id_col).over(w))
+        fps.join(keepers, "fp")
         .select(
             F.col(id_col),
             "keeper_id",
@@ -490,11 +495,17 @@ def dedup_clusters(
             "_tl",
         )
     )
-    w = Window.partitionBy("component_id").orderBy(
-        F.col("_tl").desc(), F.col(id_col).asc()
+    # keeper via max_by aggregation (argmax of (len, -id): longest
+    # text, ties to smallest id), not a window — a giant boilerplate
+    # cluster must not funnel one task (partial aggregation ships
+    # <= partitions candidate rows per component)
+    keepers = base.groupBy("component_id").agg(
+        F.max_by(
+            F.col(id_col), F.struct(F.col("_tl"), (-F.col(id_col)).alias("_n"))
+        ).alias("keeper_id")
     )
     return (
-        base.withColumn("keeper_id", F.first(id_col).over(w))
+        base.join(keepers, "component_id")
         .select(
             F.col(id_col),
             "component_id",
