@@ -407,6 +407,17 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     )
 
 
+def q_corpus_filter(spark, sf_dir):
+    """Training-data admission gate: keep/drop + first failing
+    reason (short | low_quality | lang) per document."""
+    return textstats.corpus_filter(
+        _t(spark, sf_dir, "documents"),
+        min_tokens=5,
+        min_quality=0.5,
+        langs=("en",),
+    )
+
+
 def q_vocab_top_tokens(spark, sf_dir):
     """Corpus vocabulary head: top-100 tokens by frequency with
     document frequency — TakeOrderedAndProject, never a full sort."""
@@ -567,6 +578,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
     "text_stats": q_text_stats,
     "vocab_top_tokens": q_vocab_top_tokens,
+    "corpus_filter": q_corpus_filter,
     "mm_frame_plan": q_mm_frame_plan,
     "mm_resize_plan": q_mm_resize_plan,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -972,6 +984,42 @@ with recursive cand as ({_minhash_sql(16, 4)}),
 select c.doc_id, c.component_id, k.keeper_id,
        (c.doc_id <> k.keeper_id) as is_dup
 from comp c join keep k using (component_id)
+""",
+    # same stats fragments as text_stats; check order mirrors
+    # textstats.corpus_filter (short -> low_quality -> lang)
+    "corpus_filter": f"""
+with base as (
+  select doc_id, text, ' ' || lower(text) || ' ' as padded,
+         {', '.join(f"{_lang_score_sql(L)} as score_{L}" for L in _TEXTSTAT_MARKERS)}
+  from documents
+), s as (
+  select doc_id,
+    case when length(trim(text)) = 0 then 0
+         else len(regexp_split_to_array(trim(text), '\\s+')) end as n_tokens,
+    round(
+      0.4 * (case when length(text) = 0 then 0.0
+             else length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                  / length(text) end)
+    + 0.2 * (1.0 - least((case when length(text) = 0 then 0.0
+             else length(regexp_replace(text, '[^.,;:!?''\\"()-]', '', 'g')) * 1.0
+                  / length(text) end) * 5.0, 1.0))
+    + 0.2 * (case when (case when (case when length(trim(text)) = 0 then 0
+                else len(regexp_split_to_array(trim(text), '\\s+')) end) = 0 then 0.0
+             else length(regexp_replace(text, '\\s', '', 'g')) * 1.0
+                  / (case when length(trim(text)) = 0 then 0
+                     else len(regexp_split_to_array(trim(text), '\\s+')) end) end)
+             between 3.0 and 12.0 then 1.0 else 0.3 end)
+    + 0.2 * least(length(text) / 500.0, 1.0), 6) as quality,
+    {_lang_id_sql()} as lang_guess
+  from base
+), r as (
+  select doc_id,
+    case when n_tokens < 5 then 'short'
+         when quality < 0.5 then 'low_quality'
+         when lang_guess not in ('en') then 'lang' end as reason
+  from s
+)
+select doc_id, reason is null as keep, reason from r
 """,
     "vocab_top_tokens": """
 with toks as (

@@ -145,3 +145,30 @@ def top_tokens(
         F.count_distinct(F.col(id_col)).alias("n_docs"),
     )
     return counts.orderBy(F.desc("freq"), F.asc("token")).limit(k)
+
+
+def corpus_filter(
+    docs: "DataFrame",
+    min_tokens: int = 5,
+    min_quality: float = 0.5,
+    langs: tuple = ("en",),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """(doc_id, keep, reason): the training-data admission gate —
+    drop too-short documents, low-quality documents, and languages
+    outside the target set, recording the FIRST failing check
+    ('short' | 'low_quality' | 'lang', null when kept) so drop-rate
+    dashboards can attribute losses. Pure column expressions over
+    the ONE text pass (codegen; the three scores share the scan)."""
+    t = F.col(text_col)
+    reason = (
+        F.when(token_count(t) < min_tokens, F.lit("short"))
+        .when(quality_score(t) < min_quality, F.lit("low_quality"))
+        .when(~lang_id(t).isin(*langs), F.lit("lang"))
+    )
+    return docs.select(
+        F.col(id_col),
+        reason.isNull().alias("keep"),
+        reason.alias("reason"),
+    )

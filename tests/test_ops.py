@@ -356,3 +356,23 @@ def test_ivf_centroid_reuse_identical_and_persistable(emb, tmp_path):
     a = sorted((r.query_id, r.vec_id, r.rn) for r in inline.collect())
     b = sorted((r.query_id, r.vec_id, r.rn) for r in reused.collect())
     assert a == b
+
+
+def test_corpus_filter_reasons(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog here"),  # keep
+            (2, "too short"),                                          # short
+            (3, ",,,, !!!! ;;;; :::: ???? .... (((( )))) ---- ...."),  # low quality
+            (4, "der schnelle braune fuchs und die katze sind nicht hier oder da"),  # lang
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.keep, r.reason)
+        for r in textstats.corpus_filter(docs, langs=("en",)).collect()
+    }
+    assert got[1] == (True, None)
+    assert got[2] == (False, "short")
+    assert got[3] == (False, "low_quality")
+    assert got[4] == (False, "lang")
