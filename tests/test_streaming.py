@@ -365,3 +365,49 @@ def test_lsh_pairs_stream_matches_batch(spark, tmp_path):
     assert got == want
     # the cross-batch near-dup pair must be present (state memory)
     assert (0, 3) in got and (2, 4) in got
+
+
+def test_stateless_corpus_ops_compose_with_streams(spark, tmp_path):
+    """corpus_filter and canonical_url are pure column expressions, so
+    they run unchanged on a streaming DataFrame — the corpus admission
+    gate composes into an ingest stream with batch-identical output."""
+    import pandas as pd
+
+    from crawler_spark.functions import extract
+    from crawler_spark.ops import textstats
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the quick brown fox jumps over the lazy dog here",
+                "too short",
+                "HTTP://Example.COM:80/a?b=2&a=1#f",
+            ],
+        }
+    )
+    src = str(tmp_path / "cdocs")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = textstats.corpus_filter(stream).withColumn(
+        "canon", extract.canonical_url(F.lit("HTTP://Example.COM:80/x"))
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("corpus_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_corpus"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.keep, r.reason, r.canon)
+        for r in spark.sql("select * from corpus_stream").collect()
+    }
+    batch = {
+        r.doc_id: (r.keep, r.reason)
+        for r in textstats.corpus_filter(spark.createDataFrame(pdf)).collect()
+    }
+    assert {k: v[:2] for k, v in got.items()} == batch
+    assert all(v[2] == "http://example.com/x" for v in got.values())
