@@ -36,7 +36,9 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     boilerplate docs sharing one fp) would funnel a window's whole
     partition through one task, while the agg ships <= partitions
     partial minima per fp."""
-    fps = docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    fps = docs.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
+    ).repartition("fp")  # one exchange, shared by the agg and the join
     keepers = fps.groupBy("fp").agg(F.min(id_col).alias("keeper_id"))
     return (
         fps.join(keepers, "fp")
