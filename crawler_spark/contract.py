@@ -397,6 +397,17 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_dedup_simhash_clusters(spark, sf_dir):
+    """Clustering composed with a DIFFERENT pair source: simhash
+    hamming<=3 pairs -> the same components + keep-the-longest —
+    dedup_clusters(pairs=) is pair-relation-agnostic."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_dup_pairs(
+        docs, max_hamming=3, n_bits=64
+    ).select("doc_a", "doc_b")
+    return dedup.dedup_clusters(docs, pairs=pairs)
+
+
 def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash(_t(spark, sf_dir, "documents"), n_bits=64)
 
@@ -572,6 +583,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_lsh_jaccard_verified": q_dedup_lsh_jaccard_verified,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_simhash_clusters": q_dedup_simhash_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
@@ -918,6 +930,41 @@ where a.doc_id < b.doc_id
     ),
     "dedup_simhash": (
         _simhash_core_sql(64) + "\nselect doc_id, simhash from sh\n"
+    ),
+    # simhash byte-band pairs -> the SAME recursive closure + keeper
+    # as dedup_clusters (pair-source-agnostic composition)
+    "dedup_simhash_clusters": (
+        _simhash_core_sql(64).replace("\nwith toks", "\nwith recursive toks", 1)
+        + """, bands as (
+  select doc_id, simhash, band, (simhash >> (8 * band)) & 255 as byte
+  from sh, unnest([0, 1, 2, 3, 4, 5, 6, 7]) as t(band)
+), pairs as (
+  select distinct a.doc_id as doc_a, b.doc_id as doc_b
+  from bands a join bands b on a.band = b.band and a.byte = b.byte
+  where a.doc_id < b.doc_id
+    and bit_count(xor(a.simhash, b.simhash)) <= 3
+), sym as (
+  select doc_a as u, doc_b as v from pairs
+  union
+  select doc_b as u, doc_a as v from pairs
+), reach as (
+  select doc_id as src, doc_id as dst from documents
+  union
+  select r.src, s.v from reach r join sym s on s.u = r.dst
+), comp as (
+  select src as doc_id, min(dst) as component_id from reach group by src
+), ranked as (
+  select c.doc_id, c.component_id,
+         row_number() over (partition by c.component_id
+                            order by length(d.text) desc, c.doc_id) rn
+  from comp c join documents d using (doc_id)
+), keep as (
+  select component_id, doc_id as keeper_id from ranked where rn = 1
+)
+select c.doc_id, c.component_id, k.keeper_id,
+       (c.doc_id <> k.keeper_id) as is_dup
+from comp c join keep k using (component_id)
+"""
     ),
     "dedup_lsh_jaccard_verified": f"""
 with cand as ({_minhash_sql(16, 4)}),
