@@ -325,3 +325,48 @@ def test_run_epoch_with_robots_rules(spark, tmp_path):
     assert st[datagen.node_url(0)] == "fetched"
     assert eng.edges.filter(Fn.col("src") == 1).count() == 0
     assert s["scheduled"] == 2
+
+
+def test_crawl_feeds_corpus_pipeline(spark, tmp_path):
+    """End-to-end product story: crawl epochs produce fetched pages;
+    their EXTRACTED text flows through the training-data layer —
+    admission filter, exact dedup, near-dup clustering — with every
+    fetched url accounted for exactly once."""
+    import pyspark.sql.functions as Fn
+
+    from crawler_spark.functions import extract
+    from crawler_spark.ops import dedup as dedup_ops
+    from crawler_spark.ops import textstats
+
+    eng, _, _ = _run(spark, tmp_path, "corpus_e2e", epochs=3)
+    web, _ = _web(spark)
+    fetched_urls = eng.frontier.filter("state = 'fetched'").select("url")
+    n_fetched = fetched_urls.count()
+    assert n_fetched > 0
+    corpus = (
+        web.join(fetched_urls, "url")
+        .select(
+            Fn.xxhash64("url").alias("doc_id"),
+            extract.extract_text("html").alias("text"),
+        )
+    )
+    # admission gate: every fetched page yields a verdict row
+    gate = textstats.corpus_filter(corpus, min_tokens=1, min_quality=0.0)
+    verdicts = gate.collect()
+    assert len(verdicts) == n_fetched
+    # fixture text is terse, so language-id may reject some pages —
+    # but every verdict must be internally consistent
+    for v in verdicts:
+        assert v.keep == (v.reason is None)
+        assert v.reason in (None, "short", "low_quality", "lang")
+    # dedup clustering over the crawled corpus: one row per doc,
+    # keeper ids are members of their own component
+    clusters = dedup_ops.dedup_clusters(corpus, threshold=0.9)
+    rows = clusters.collect()
+    assert len(rows) == n_fetched
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component_id, set()).add(r.doc_id)
+    for r in rows:
+        assert r.keeper_id in by_comp[r.component_id]
+        assert r.is_dup == (r.doc_id != r.keeper_id)
