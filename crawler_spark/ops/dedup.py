@@ -367,7 +367,7 @@ def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
-    max_iters: int = 25,
+    max_iters: int = 50,
 ) -> DataFrame:
     """(node, component_id) for every node appearing in `pairs`;
     component_id = the minimum node id reachable through the pair
