@@ -94,9 +94,27 @@ def main() -> None:
     bench("q5_delta_partition", lambda: contract.q_t3_delta_partition(
         spark, sf_dir).count())
 
-    # q6: exact dedup over documents
-    bench("q6_dedup_exact", lambda: contract.q_dedup_exact(
-        spark, sf_dir).count())
+    # q6: exact dedup over documents — persist-and-release: the
+    # (id, fp) pass is cached for its two consumers (keeper agg +
+    # join) and released right after the action, the pipeline shape
+    def q_exact():
+        from crawler_spark.ops import dedup
+
+        release: list = []
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n = dedup.exact_dedup(docs, release=release).count()
+        for f in release:
+            f.unpersist()
+        return n
+
+    bench("q6_dedup_exact", q_exact)
+    # steady-state row for the same query: the cold row above is
+    # dominated by one-time plan compile/scheduling (data cost is
+    # microscopic at sf0.1 — 1.5 MB of text); a long-lived cluster
+    # pays the compile once, so both numbers are reported
+    t0 = time.time()
+    q_exact()
+    extras["q6_dedup_exact_steady"] = round(time.time() - t0, 3)
 
     # q7: minhash LSH candidate pairs
     bench("q7_minhash_lsh", lambda: contract.q_dedup_minhash_lsh(

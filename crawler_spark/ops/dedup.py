@@ -28,17 +28,48 @@ from pyspark.sql import functions as F
 from .textstats import fingerprint
 
 
-def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def exact_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    release: list | None = None,
+) -> DataFrame:
     """(doc_id, keeper_id, is_dup): keeper = min doc_id among identical
     normalized texts. Keeper selection is a map-side-combining
-    aggregation + co-partitioned join, NOT a window over the
-    fingerprint: a degenerate dup group (billions of empty /
-    boilerplate docs sharing one fp) would funnel a window's whole
-    partition through one task, while the agg ships <= partitions
-    partial minima per fp."""
+    aggregation + join, NOT a window over the fingerprint: a
+    degenerate dup group (billions of empty / boilerplate docs sharing
+    one fp) would funnel a window's whole partition through one task,
+    while the agg ships <= partitions partial minima per fp and the
+    join's probe-side skew is split by AQE skew-join. No keyed
+    pre-repartition: concentrating raw rows per fp BEFORE the agg
+    would defeat exactly that map-side combine.
+
+    Materialization contract (the narrow (id, fp) pass feeds BOTH the
+    keeper agg and the join; measured — AQE does NOT reuse the
+    exchange across the two subtrees here, so without help the
+    normalize+md5 text pass runs once per branch):
+
+    - `release=<list>`: persist the (id, fp) frame and append it to
+      `release`; the caller unpersists after its ONE downstream
+      action. One text scan — the bench/pipeline shape, and the only
+      sane shape at 100 TB where the text column is the dominant I/O.
+    - `release=None` (default): fully lazy, no persist anywhere — for
+      callers that cannot release (driver-owned contract queries).
+      The text pass runs once per branch; everything downstream is
+      narrow. Same contract as seen.admit_new_urls.
+
+    No fan_out here (unlike shingling): the normalize+md5 pass is
+    ~us/doc, so spreading a single-split scan buys nothing — a
+    1-split scan only happens when the corpus is tiny, and at scale
+    the scan already yields >= parallelism splits. Measured: the
+    added round-robin exchange costs ~0.4s of fixed latency at sf0.1
+    for zero win."""
     fps = docs.select(
         F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
-    ).repartition("fp")  # one exchange, shared by the agg and the join
+    )
+    if release is not None:
+        fps = fps.persist()
+        release.append(fps)
     keepers = fps.groupBy("fp").agg(F.min(id_col).alias("keeper_id"))
     return (
         fps.join(keepers, "fp")

@@ -112,3 +112,26 @@ def test_delta_apply_broadcasts_removals(spark):
     )
     p = _plan(graph.apply_deltas(edges, deltas))
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_exact_dedup_no_window_and_release_shares_one_text_pass(spark):
+    """q6 keeper selection: no window over fp in EITHER form (a
+    degenerate dup group must never funnel one task's sort), and the
+    persist-and-release form reads the (id, fp) cache in both the agg
+    and the join branch — one normalize+md5 text pass total."""
+    from crawler_spark.ops import dedup
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "A b!"), (2, "c")], "doc_id long, text string"
+    )
+    p = _plan(dedup.exact_dedup(docs)).lower()
+    assert "windowspecdefinition" not in p
+
+    release = []
+    out = dedup.exact_dedup(docs, release=release)
+    out.count()
+    p = _plan(out)
+    assert "windowspecdefinition" not in p.lower()
+    assert p.count("InMemoryTableScan") >= 2  # agg + join read the cache
+    for f in release:
+        f.unpersist()
