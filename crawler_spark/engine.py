@@ -951,6 +951,18 @@ class CrawlEngine:
     # ---- reads ----
 
     def pagerank(self) -> DataFrame:
+        """Rank read served from the MAINTAINED state — the visits
+        inverted index and the totalVisits counter (reference rank
+        reads are SCards + one HGet, pagerank.go:17-44; never a walk-
+        store re-derivation). Falls back to the store scan only when
+        the index was never built (pre-bootstrap)."""
         from .rank import global_pagerank
 
+        if self.visits is not None:
+            return global_pagerank(
+                self.walks,
+                nodes=self.nodes,
+                visits=self.visits,
+                total=self.total_visits,
+            )
         return global_pagerank(self.walks, nodes=self.nodes)

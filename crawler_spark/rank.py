@@ -15,16 +15,33 @@ from pyspark.sql import functions as F
 from .walks_gen import total_visits, visit_counts
 
 
-def global_pagerank(walks: DataFrame, nodes: DataFrame | None = None) -> DataFrame:
+def global_pagerank(
+    walks: DataFrame,
+    nodes: DataFrame | None = None,
+    visits: DataFrame | None = None,
+    total: int | None = None,
+) -> DataFrame:
     """A3 pagerank.Global (reference pagerank.go:17-44):
     rank(v) = visits(v) / totalVisits; nodes never visited rank 0.
 
     One shuffle (the visit-count agg). The total is a scalar literal,
-    not a cross join."""
-    total = total_visits(walks)
+    not a cross join.
+
+    `visits` (the maintained (node_id, walk_id) inverted index) and
+    `total` (the maintained totalVisits counter) serve the read
+    WITHOUT re-deriving from the walk store — the reference's rank
+    read is SCard lookups + one HGet (pagerank.go:17-44), never a
+    store scan; the engine passes its incrementally-maintained state
+    here. Standalone callers omit them and pay the scan."""
+    if total is None:
+        total = total_visits(walks)
     if total == 0:
         raise ValueError("empty walk store (reference ErrEmptyRWS)")
-    counts = visit_counts(walks)
+    counts = (
+        visits.groupBy("node_id").agg(F.count("*").alias("visits"))
+        if visits is not None
+        else visit_counts(walks)
+    )
     scores = counts.select(
         "node_id", (F.col("visits") / F.lit(float(total))).alias("rank")
     )

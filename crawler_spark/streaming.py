@@ -265,6 +265,13 @@ def run_crawl_stream(
         ts = now or _dt.datetime.now(_dt.timezone.utc)
         engine.epoch += 1
         stats = engine.process_pages(fetched, ts)
+        # the reference's NodeArbiter runs CONCURRENTLY with the
+        # firehose (arbiter.go:44-81, cmd/crawler.go:89-141) — the
+        # continuous form must promote/demote and generate walks just
+        # like the batch epoch loop, or the crawl-and-rank feedback
+        # loop never closes. Change-ratio-gated, so most batches pay
+        # one counter comparison.
+        stats.update(engine.maybe_arbiter(ts))
         stats["stream_batch_id"] = batch_id
         engine._commit(ts, stats)
 
@@ -285,20 +292,30 @@ def run_ingest_stream(
     watermark: str = "10 minutes",
     now: _dt.datetime | None = None,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """Micro-batched crawl ingest: every file batch of pages flows
     through the full process pipeline (dedup -> extract -> admission
-    -> mint -> deltas -> walk repair) and commits a catalog snapshot.
+    -> mint -> deltas -> walk repair), runs the change-ratio-gated
+    arbiter, and commits a catalog snapshot.
 
     With `available_now` the stream drains existing files and stops —
     the testable/batch-drain form; without it, it runs continuously.
-    Returns the StreamingQuery."""
-    src = stream_pages(engine.spark, pages_dir, watermark)
+    `max_files_per_trigger=1` is the deterministic replay shape (one
+    page file per micro-batch). Returns the StreamingQuery."""
+    src = stream_pages(
+        engine.spark, pages_dir, watermark,
+        max_files_per_trigger=max_files_per_trigger,
+    )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         ts = now or _dt.datetime.now(_dt.timezone.utc)
         engine.epoch += 1
         stats = engine.process_pages(batch_df, ts)
+        # arbiter per micro-batch, same as run_crawl_stream: the
+        # continuous form promotes/demotes concurrently with ingest
+        # (reference arbiter.go:44-81); change-ratio-gated
+        stats.update(engine.maybe_arbiter(ts))
         stats["stream_batch_id"] = batch_id
         engine._commit(ts, stats)
 

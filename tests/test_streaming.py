@@ -238,6 +238,16 @@ def test_run_crawl_stream_end_to_end(spark, tmp_path):
     # pages were processed: discovery minted nodes beyond the seed
     assert eng.nodes.count() > 1
     assert eng.edges.count() > 0
+    # the crawl-and-rank loop CLOSES in continuous mode: the per-batch
+    # arbiter promoted discovered nodes and generated walks for them —
+    # without it, walks only ever start at the bootstrap seed
+    starts = {
+        int(r.start_id)
+        for r in eng.walks.select("start_id").distinct().collect()
+    }
+    assert len(starts) > 1, "streaming arbiter never promoted anyone"
+    active = eng.nodes.filter(F.col("status") == "active").count()
+    assert active > 1
 
 
 def test_stream_source_schema(spark, tmp_path):
@@ -411,3 +421,76 @@ def test_stateless_corpus_ops_compose_with_streams(spark, tmp_path):
     }
     assert {k: v[:2] for k, v in got.items()} == batch
     assert all(v[2] == "http://example.com/x" for v in got.values())
+
+
+def test_stream_arbiter_matches_batch_epochs(spark, tmp_path):
+    """The continuous form closes the crawl-and-rank loop (the
+    reference's NodeArbiter runs concurrently with the firehose,
+    arbiter.go:44-81, cmd/crawler.go:89-141): a promotion-triggering
+    replay through run_ingest_stream flips the same nodes and
+    generates the same walks as the batch loop running
+    process_pages + maybe_arbiter over the identical slices — and
+    the stream's arbiter-flipping commits stay bucket-scoped (no
+    full-table snapshot after bootstrap)."""
+    follows = {
+        i: sorted({(i + 1) % 40, (i + 7) % 40} - {i}) for i in range(40)
+    }
+    pages = datagen.pages_df(spark, follows)
+    slices = [
+        pages.filter(F.col("url") < datagen.node_url(20)),
+        pages.filter(F.col("url") >= datagen.node_url(20)),
+    ]
+    d = str(tmp_path / "pages_arb")
+    for sl in slices:
+        sl.coalesce(1).write.mode("append").parquet(d)
+    ts = NOW + dt.timedelta(minutes=1)
+
+    def mk(name):
+        return engine.CrawlEngine(
+            spark, str(tmp_path / name), walks_per_node=20, n_buckets=8,
+            promotion_wait_s=0.0, seed=42,
+        )
+
+    seeds = [datagen.node_url(i) for i in (0, 1, 2)]
+
+    eng_b = mk("arb_batch")
+    eng_b.bootstrap(seeds, NOW)
+    promoted = 0
+    for sl in slices:
+        eng_b.epoch += 1
+        stats = eng_b.process_pages(sl, ts)
+        stats.update(eng_b.maybe_arbiter(ts))
+        eng_b._commit(ts, stats)
+        promoted += stats.get("promoted", 0)
+    assert promoted > 0  # the replay is promotion-triggering
+
+    eng_s = mk("arb_stream")
+    eng_s.bootstrap(seeds, NOW)
+    q = streaming.run_ingest_stream(
+        eng_s, d, str(tmp_path / "ckpt_arb"), now=ts,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    # same flips, same nodes, same walks, same maintained counters
+    key_n = lambda e: sorted(
+        (r.url, int(r.node_id), r.status) for r in e.nodes.collect()
+    )
+    assert key_n(eng_s) == key_n(eng_b)
+    key_w = lambda e: sorted(
+        (int(r.walk_id), int(r.start_id), tuple(r.path))
+        for r in e.walks.collect()
+    )
+    assert key_w(eng_s) == key_w(eng_b)
+    assert eng_s.total_visits == eng_b.total_visits
+    assert eng_s.next_walk_id == eng_b.next_walk_id
+
+    # every post-bootstrap commit of the big tables is bucket-scoped
+    partial_seen = 0
+    for table in ("walks", "nodes", "visits"):
+        for snap in eng_s.cat.snapshots(table)[1:]:
+            changed = snap.metrics.get("changed_buckets")
+            if changed is not None:
+                assert len(changed) <= eng_s.n_table_buckets
+                partial_seen += 1
+    assert partial_seen > 0

@@ -237,3 +237,35 @@ def test_arbiter_flip_commits_bucket_scoped(spark, tmp_path):
     assert _index_rows(eng2.visits) == _index_rows(
         walks_gen.visits_of(eng2.walks)
     )
+
+
+def test_pagerank_read_serves_from_maintained_index(spark, tmp_path, monkeypatch):
+    """engine.pagerank() is a READ: it must consume the maintained
+    visits index + totalVisits counter (reference rank reads are
+    SCards + one HGet, pagerank.go:17-44), never re-derive them from
+    the walk store — and the served scores must be bit-identical to
+    the scan definition."""
+    from crawler_spark import rank
+
+    web, _ = _web(spark)
+    eng = _mk(spark, tmp_path, "rankread")
+    eng.bootstrap([datagen.node_url(i) for i in (0, 1, 2)], NOW)
+    eng.run_epoch(web, NOW + dt.timedelta(minutes=1))
+
+    want = sorted(
+        (int(r.node_id), float(r.rank))
+        for r in rank.global_pagerank(eng.walks, nodes=eng.nodes).collect()
+    )
+
+    def _poisoned(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("store re-derivation inside a rank read")
+
+    monkeypatch.setattr(walks_gen, "visits_of", _poisoned)
+    monkeypatch.setattr(walks_gen, "total_visits", _poisoned)
+    monkeypatch.setattr(rank, "visit_counts", _poisoned)
+    monkeypatch.setattr(rank, "total_visits", _poisoned)
+    got = sorted(
+        (int(r.node_id), float(r.rank)) for r in eng.pagerank().collect()
+    )
+    monkeypatch.undo()
+    assert got == want
