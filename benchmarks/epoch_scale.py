@@ -133,17 +133,26 @@ def main() -> None:
                 eng = build_engine(spark, work + "/cat", n_nodes, now)
                 pages = batch(n_nodes)
                 pages.count()  # materialize the input outside the timing
+                # job count = all-job id delta across the timed region
+                # (the commit runs table writes on a thread pool, so
+                # job-group tagging would miss them)
+                tracker = spark.sparkContext.statusTracker()
+                jid0 = max(tracker.getJobIdsForGroup(None), default=-1)
                 t0 = time.time()
                 eng.epoch += 1
                 s = eng.process_pages(pages, now)
                 eng._commit(now, s)
                 sec = time.time() - t0
+                n_jobs = (
+                    max(tracker.getJobIdsForGroup(None), default=-1) - jid0
+                )
                 results.append(
                     {
                         "n_nodes": n_nodes,
                         "n_walks": 4 * n_nodes,
                         "mode": mode,
                         "seconds": round(sec, 3),
+                        "spark_jobs": n_jobs,
                         "new_nodes": s["new_nodes"],
                         "deltas": s["deltas"],
                     }

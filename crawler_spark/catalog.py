@@ -79,6 +79,29 @@ class Catalog:
                 return
         df.limit(0).coalesce(1).write.mode("append").parquet(vdir)
 
+    @staticmethod
+    def _scan_committed(vdir: str) -> tuple[list[dict], int]:
+        """File manifest + row count for a just-committed version dir,
+        from the parquet FOOTERS on the driver — zero Spark jobs. A
+        commit previously paid one `read.parquet(vdir).count()` job
+        per table per epoch (6 jobs of pure scheduling latency for a
+        number the footers already hold)."""
+        import pyarrow.parquet as pq
+
+        files, n_rows = [], 0
+        for dirpath, _, names in os.walk(vdir):
+            for name in names:
+                if name.endswith(".parquet"):
+                    full = os.path.join(dirpath, name)
+                    files.append(
+                        {
+                            "path": os.path.relpath(full, vdir),
+                            "bytes": os.path.getsize(full),
+                        }
+                    )
+                    n_rows += pq.ParquetFile(full).metadata.num_rows
+        return files, n_rows
+
     # ---- public API ----
     def tables(self) -> list[str]:
         return sorted(
@@ -115,21 +138,7 @@ class Catalog:
         writer.parquet(vdir)
         self._ensure_readable(vdir, df)
 
-        files = []
-        n_rows = 0
-        for dirpath, _, names in os.walk(vdir):
-            for name in names:
-                if name.endswith(".parquet"):
-                    full = os.path.join(dirpath, name)
-                    files.append(
-                        {
-                            "path": os.path.relpath(full, vdir),
-                            "bytes": os.path.getsize(full),
-                        }
-                    )
-        # row count from parquet footers via a cheap count on the
-        # committed files (metadata-only for parquet)
-        n_rows = df.sparkSession.read.parquet(vdir).count()
+        files, n_rows = self._scan_committed(vdir)
 
         snap = Snapshot(
             version=version,
@@ -201,18 +210,7 @@ class Catalog:
                         )
         self._ensure_readable(vdir, df)
 
-        files = []
-        for dirpath, _, names in os.walk(vdir):
-            for name in names:
-                if name.endswith(".parquet"):
-                    full = os.path.join(dirpath, name)
-                    files.append(
-                        {
-                            "path": os.path.relpath(full, vdir),
-                            "bytes": os.path.getsize(full),
-                        }
-                    )
-        n_rows = df.sparkSession.read.parquet(vdir).count()
+        files, n_rows = self._scan_committed(vdir)
         m = dict(metrics or {})
         m["changed_buckets"] = changed
         snap = Snapshot(

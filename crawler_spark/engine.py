@@ -135,6 +135,9 @@ class CrawlEngine:
         # edges, visits) — one file-listing/schema-inference pass each
         # without this
         self._snap_reads: dict[str, DataFrame] = {}
+        # per-table parquet schema cache (schemas are fixed; see
+        # _read_snapshot)
+        self._snap_schemas: dict = {}
         # nodes bucket by the SAME host-hash as the filters, so the
         # minted-url touched set drives both partial commits
         self._nodes_dirty: set[int] | None = None
@@ -195,10 +198,28 @@ class CrawlEngine:
         self.next_node_id = self.nodes.count()  # ids dense 0..n-1
         self._commit(now, {"event": "bootstrap", "seeds": len(seed_urls)})
 
+    def _read_snapshot(self, name: str, path: str):
+        """spark.read of a snapshot dir with the table's CACHED schema:
+        the first read per table infers and caches it; every later
+        read supplies it explicitly, skipping the per-read footer
+        schema-inference job (~6 driver-latency jobs per epoch across
+        the pruned lookups and post-commit reloads — table schemas are
+        fixed, so inference buys nothing after the first)."""
+        sch = self._snap_schemas.get(name)
+        if sch is None:
+            df = self.spark.read.parquet(path)
+            self._snap_schemas[name] = df.schema
+            return df
+        return self.spark.read.schema(sch).parquet(path)
+
     def _load(self, name: str):
         """Read a table's current snapshot, stripping/normalizing the
         bucket partition column the bucketed tables carry on disk."""
-        df = self.cat.read(self.spark, name)
+        cur = self.cat.current(name)
+        if cur is not None:
+            df = self._read_snapshot(name, cur.path)
+        else:
+            df = self.cat.read(self.spark, name)
         if (
             name in ("walks", "edges", "nodes", "frontier", "visits")
             and "bucket" in df.columns
@@ -319,19 +340,14 @@ class CrawlEngine:
             ),
             "frontier": (self._host_bucket(), self._frontier_dirty),
         }
-        for name, df in (
-            ("nodes", self.nodes),
-            ("edges", self.edges),
-            ("walks", self.walks),
-            ("visits", self.visits),
-            ("frontier", self.frontier),
-            ("filters", self.filters),
-        ):
+        def _commit_one(name: str, df: DataFrame) -> None:
             if name in bucketed:
                 expr, dirty = bucketed[name]
                 partial = dirty is not None and self.cat.current(name) is not None
                 if partial and self._pending.get(name):
-                    base = self.cat.read(self.spark, name)
+                    base = self._read_snapshot(
+                        name, self.cat.current(name).path
+                    )
                     part = base.filter(
                         F.col("bucket").isin(sorted(dirty))
                     ).drop("bucket")
@@ -376,6 +392,31 @@ class CrawlEngine:
             # state exactly the on-disk state
             setattr(self, name, self._load(name))
             self._snap_frames[name] = getattr(self, name)
+            return snap
+
+        # the six table commits are INDEPENDENT Spark actions over
+        # disjoint state (separate manifest files, separate version
+        # dirs) — run them concurrently so their fixed per-action
+        # scheduling latencies overlap instead of summing (the
+        # reference commits via concurrent goroutines for the same
+        # reason, cmd/crawler.go:89-141); measured ~2x on the commit
+        # phase of a small delta epoch
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            futures = [
+                pool.submit(_commit_one, name, df)
+                for name, df in (
+                    ("nodes", self.nodes),
+                    ("edges", self.edges),
+                    ("walks", self.walks),
+                    ("visits", self.visits),
+                    ("frontier", self.frontier),
+                    ("filters", self.filters),
+                )
+            ]
+            for f in futures:
+                f.result()
         self._walks_dirty = set()
         self._edges_dirty = set()
         self._filters_dirty = set()
@@ -448,24 +489,31 @@ class CrawlEngine:
         # Checkpointed ONCE (html dropped): the extraction UDF chain
         # otherwise re-runs for every downstream action (admission
         # count, delta checkpoint, bucket collects).
+        # LAZY checkpoint: the first action below (ONE bucket-grouped
+        # count) materializes the blocks AND returns the page count
+        # plus the batch's url-host buckets — the eager-checkpoint +
+        # count + bucket-collect trio was three driver actions for
+        # the same information (each Spark action costs ~0.3-1 s of
+        # fixed latency; a streaming micro-batch pays that floor
+        # regardless of delta size)
         with_links = latest.select(
             "url",
             F.filter(
                 extract_links("html", "url"), lambda c: is_valid_url(c)
             ).alias("links"),
-        ).localCheckpoint(eager=True)
-        n_pages = with_links.count()
+        ).localCheckpoint(eager=False)
         # the batch's url-host buckets — a pure hash of the delta rows,
         # no store read — prune the nodes snapshot for the author join:
         # a url can only match inside its own bucket partition
-        batch_buckets = [
-            int(r["b"])
-            for r in with_links.select(
+        _prows = (
+            with_links.groupBy(
                 seen.url_bucket(F.col("url"), self.n_buckets).alias("b")
             )
-            .distinct()
+            .count()
             .collect()
-        ]
+        )
+        n_pages = sum(int(r["count"]) for r in _prows)
+        batch_buckets = [int(r["b"]) for r in _prows]
         auth_nodes = self._pruned_table("nodes", batch_buckets)
         # join to author node ids; only known nodes' pages are
         # processed (the admission gate S2 already let them in).
@@ -476,22 +524,35 @@ class CrawlEngine:
                 "url", "node_id", "status"
             ),
             "url",
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         link_rows = pages_auth.select(
             "node_id", "status", F.explode_outer("links").alias("link")
         )
-        # the link targets' url buckets prune BOTH remaining nodes
-        # lookups this epoch (admission's exact-verify side and the
-        # target-resolution join): equal url => equal host bucket
-        link_buckets = [
-            int(r["b"])
-            for r in link_rows.filter(F.col("link").isNotNull())
+        # ONE tagged multi-aggregate materializes the pages_auth
+        # checkpoint and returns BOTH bucket sets the epoch needs from
+        # it: the link targets' url buckets (pruning admission's
+        # exact-verify side and the target-resolution join — equal
+        # url => equal host bucket) and the batch authors' src buckets
+        # (pruning the edge snapshot below). Previously: checkpoint
+        # job + two separate distinct-collects.
+        _krows = (
+            link_rows.filter(F.col("link").isNotNull())
             .select(
-                seen.url_bucket(F.col("link"), self.n_buckets).alias("b")
+                seen.url_bucket(F.col("link"), self.n_buckets).alias("b"),
+                F.lit(0).alias("k"),
             )
-            .distinct()
+            .unionByName(
+                pages_auth.select(
+                    self._bucket_of("node_id").alias("b"),
+                    F.lit(1).alias("k"),
+                )
+            )
+            .groupBy("k", "b")
+            .count()
             .collect()
-        ]
+        )
+        link_buckets = [int(r["b"]) for r in _krows if int(r["k"]) == 0]
+        author_buckets = [int(r["b"]) for r in _krows if int(r["k"]) == 1]
         link_nodes = self._pruned_table("nodes", link_buckets)
 
         # discovery: unknown link targets get ids IF the author is
@@ -562,10 +623,25 @@ class CrawlEngine:
             added_ts=now,
             start_id=self.next_node_id,
             known_new=True,
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
+        # one action: materializes the mint checkpoint and returns the
+        # new-url count per bucket — the count feeds the id counter,
+        # the per-bucket breakdown feeds filter maintenance (which
+        # would otherwise re-collect exactly this aggregation)
+        _mrows = (
+            minted.groupBy(
+                seen.url_bucket(F.col("url"), self.n_buckets).alias("b")
+            )
+            .count()
+            .collect()
+        )
+        # the probe persisted across the union branches is released
+        # only after the mint MATERIALIZED (the lazy checkpoint runs
+        # inside the action above)
         for _df in _release:
             _df.unpersist()
-        n_new = minted.count()
+        add_counts = {int(r["b"]): int(r["count"]) for r in _mrows}
+        n_new = sum(add_counts.values())
         self.next_node_id += n_new
         if n_new:
             # incremental per-bucket filter maintenance: only buckets
@@ -584,6 +660,7 @@ class CrawlEngine:
                 ).select("url"),
                 self.n_buckets,
                 filters_path=fpath,
+                add_counts=add_counts,
             )
             self._mark_dirty("_filters_dirty", touched)
             self._mark_dirty("_nodes_dirty", touched)
@@ -635,14 +712,9 @@ class CrawlEngine:
                 F.coalesce("new_follows", F.array().cast("array<long>")),
             )
         )
-        # the batch authors' src buckets prune the edge snapshot: an
-        # author's adjacency lives only in its own bucket partition
-        author_buckets = [
-            int(r["b"])
-            for r in pages_auth.select(self._bucket_of("node_id").alias("b"))
-            .distinct()
-            .collect()
-        ]
+        # the batch authors' src buckets (collected in the tagged
+        # multi-aggregate above) prune the edge snapshot: an author's
+        # adjacency lives only in its own bucket partition
         src_edges = self._pruned_table("edges", author_buckets)
         if src_edges is None:
             src_edges = self.edges
@@ -673,26 +745,27 @@ class CrawlEngine:
         deltas = (
             graph.delta_partition(new_lists.join(old_lists, "node_id"))
             .filter((F.size("removed") > 0) | (F.size("added") > 0))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        # one action sizes the delta batch AND maintains the edge
-        # count (strategy choice) — no separate edges.count() ever
-        drow = deltas.agg(
-            F.count("*").alias("n"),
-            F.coalesce(F.sum(F.size("added")), F.lit(0)).alias("na"),
-            F.coalesce(F.sum(F.size("removed")), F.lit(0)).alias("nr"),
-        ).first()
-        n_deltas = int(drow["n"])
+        # ONE bucket-grouped action materializes the delta checkpoint
+        # and returns the batch size, the edge-count delta (strategy
+        # choice input — no separate edges.count() ever) AND the delta
+        # buckets; previously checkpoint + global agg + bucket collect
+        drows = (
+            deltas.groupBy(self._bucket_of("node_id").alias("b"))
+            .agg(
+                F.count("*").alias("n"),
+                F.coalesce(F.sum(F.size("added")), F.lit(0)).alias("na"),
+                F.coalesce(F.sum(F.size("removed")), F.lit(0)).alias("nr"),
+            )
+            .collect()
+        )
+        n_deltas = sum(int(r["n"]) for r in drows)
 
         stats = {"pages": n_pages, "new_nodes": n_new, "deltas": n_deltas}
         if n_deltas:
-            self.n_edges += int(drow["na"]) - int(drow["nr"])
-            delta_buckets = sorted(
-                int(r["b"])
-                for r in deltas.select(self._bucket_of("node_id").alias("b"))
-                .distinct()
-                .collect()
-            )
+            self.n_edges += sum(int(r["na"]) - int(r["nr"]) for r in drows)
+            delta_buckets = sorted(int(r["b"]) for r in drows)
             self._mark_dirty("_edges_dirty", delta_buckets)
             self._pend(
                 "edges",
@@ -723,29 +796,67 @@ class CrawlEngine:
                 visits=self._visits_index(delta_buckets),
             )
             # the updated rows (with old_path) materialize once and
-            # feed everything delta-shaped below
-            upd = repaired.filter(F.col("updated")).localCheckpoint(eager=True)
-            up_rows = (
-                upd.groupBy(self._bucket_of("walk_id").alias("b"))
-                .count()
+            # feed everything delta-shaped below. ONE tagged action
+            # returns the repaired-walk buckets AND the visits-index
+            # bucket/counter deltas together (previously: checkpoint +
+            # walk-bucket collect + visits-bucket collect)
+            upd = repaired.filter(F.col("updated")).localCheckpoint(
+                eager=False
+            )
+            vis_rm, vis_add = walks_update.visit_deltas(upd)
+            _urows = (
+                upd.select(
+                    self._bucket_of("walk_id").alias("b"),
+                    F.lit(0).alias("k"),
+                    F.lit(0).alias("d"),
+                )
+                .unionByName(
+                    vis_rm.select(
+                        self._bucket_of("node_id").alias("b"),
+                        F.lit(1).alias("k"),
+                        F.lit(-1).alias("d"),
+                    )
+                )
+                .unionByName(
+                    vis_add.select(
+                        self._bucket_of("node_id").alias("b"),
+                        F.lit(1).alias("k"),
+                        F.lit(1).alias("d"),
+                    )
+                )
+                .groupBy("k", "b")
+                .agg(F.count("*").alias("n"), F.sum("d").alias("s"))
                 .collect()
             )
-            n_up = sum(int(r["count"]) for r in up_rows)
-            self._mark_dirty("_walks_dirty", (r["b"] for r in up_rows))
+            n_up = sum(int(r["n"]) for r in _urows if int(r["k"]) == 0)
+            self._mark_dirty(
+                "_walks_dirty",
+                (r["b"] for r in _urows if int(r["k"]) == 0),
+            )
             self._pend(
                 "walks",
                 upd.select("walk_id"),
                 upd.select("walk_id", "start_id", "path"),
             )
-            vis_rm, vis_add = walks_update.visit_deltas(upd)
-            self.total_visits += self._apply_visits_delta(vis_rm, vis_add)
+            self.total_visits += self._apply_visits_delta(
+                vis_rm,
+                vis_add,
+                bucket_rows=[
+                    (int(r["b"]), int(r["s"] or 0))
+                    for r in _urows
+                    if int(r["k"]) == 1
+                ],
+            )
             self.walks = walks_update.finish_update(repaired)
             self.walks_changed += n_up
             stats["walks_updated"] = n_up
         return stats
 
     def _apply_visits_delta(
-        self, vis_rm: DataFrame | None, vis_add: DataFrame | None
+        self,
+        vis_rm: DataFrame | None,
+        vis_add: DataFrame | None,
+        bucket_rows: list[tuple[int, int]] | None = None,
     ) -> int:
         """Maintain the visits inverted index from a (node_id, walk_id)
         delta — the store.go:337-358,442-465 transactional update, in
@@ -754,23 +865,29 @@ class CrawlEngine:
         in-memory index, and return the signed pair-count delta
         (== Δ totalVisits: walks stop on cycles, so a path never
         repeats a node and pair count equals Σ size(path)). One action
-        yields the buckets AND the counter delta."""
-        parts = []
-        if vis_rm is not None:
-            parts.append(vis_rm.select("node_id", F.lit(-1).alias("d")))
-        if vis_add is not None:
-            parts.append(vis_add.select("node_id", F.lit(1).alias("d")))
-        if not parts:
+        yields the buckets AND the counter delta — or zero actions
+        when the caller already folded them into its own multi-
+        aggregate and passes `bucket_rows` [(bucket, signed_sum)]."""
+        if bucket_rows is None:
+            parts = []
+            if vis_rm is not None:
+                parts.append(vis_rm.select("node_id", F.lit(-1).alias("d")))
+            if vis_add is not None:
+                parts.append(vis_add.select("node_id", F.lit(1).alias("d")))
+            if not parts:
+                return 0
+            alld = parts[0]
+            for p in parts[1:]:
+                alld = alld.unionByName(p)
+            bucket_rows = [
+                (int(r["b"]), int(r["s"] or 0))
+                for r in alld.groupBy(self._bucket_of("node_id").alias("b"))
+                .agg(F.sum("d").alias("s"))
+                .collect()
+            ]
+        elif vis_rm is None and vis_add is None:
             return 0
-        alld = parts[0]
-        for p in parts[1:]:
-            alld = alld.unionByName(p)
-        rows = (
-            alld.groupBy(self._bucket_of("node_id").alias("b"))
-            .agg(F.sum("d").alias("s"))
-            .collect()
-        )
-        self._mark_dirty("_visits_dirty", (r["b"] for r in rows))
+        self._mark_dirty("_visits_dirty", (b for b, _ in bucket_rows))
         self._pend(
             "visits",
             vis_rm.select("node_id", "walk_id") if vis_rm is not None else None,
@@ -785,7 +902,7 @@ class CrawlEngine:
         if vis_add is not None:
             v = v.unionByName(vis_add.select("node_id", "walk_id"))
         self.visits = v
-        return sum(int(r["s"] or 0) for r in rows)
+        return sum(s for _, s in bucket_rows)
 
     def _pruned_table(self, name: str, buckets) -> DataFrame | None:
         """Partition-pruned read of `name`'s committed snapshot,
@@ -811,7 +928,7 @@ class CrawlEngine:
         base = self._snap_reads.get(cur.path)
         if base is None:
             try:
-                base = self.spark.read.parquet(cur.path)
+                base = self._read_snapshot(name, cur.path)
             except Exception:  # empty snapshot: no parquet parts
                 return None
             self._snap_reads[cur.path] = base

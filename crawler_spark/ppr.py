@@ -309,48 +309,53 @@ def per_source_walk_sample(
         )
     ).where(F.col("member").isNotNull()).distinct()
 
-    if visits is not None:
-        hits = members.join(
-            visits.select(F.col("node_id").alias("member"), "walk_id"),
-            "member",
-        ).select("source_id", "walk_id").distinct()
-    else:
-        hits = members.join(
-            walks.select(F.explode("path").alias("member"), "walk_id"),
-            "member",
-        ).select("source_id", "walk_id").distinct()
     hkey = F.xxhash64(F.lit(seed), "walk_id")
-    # Hash-threshold pre-filter so the per-source SORT (the window
-    # below) sees a BOUNDED input: keep each row iff its uniform-ized
-    # hash falls in the smallest keep_p fraction, keep_p sized so
-    # ~(4*limit+100) rows survive per source. Selecting the `limit`
-    # smallest hashes from the survivors equals selecting them from
-    # all hits whenever >= limit rows survive — the survivors ARE the
-    # smallest-hash rows by construction — so the output is
-    # bit-identical to the unthresholded window (failure probability
-    # is Chernoff-negligible, and the equality gate in test_ppr pins
-    # it). Without this, a hot source (celebrity node visited by
-    # ~every walk in a 10^12-walk store) funnels its entire narrow
-    # hit set through ONE task's sort even though the output is
-    # capped; with it, sort input per source is ~4*limit regardless
-    # of store size. `n_hits` is one row per queried source (the
-    # query batch — small by contract, reference W5 samples per
-    # queried source, store.go:243-288), hence the explicit
-    # broadcast: the filter runs map-side and loser rows never
-    # shuffle anywhere.
-    n_hits = hits.groupBy("source_id").agg(F.count("*").alias("_n"))
-    u01 = hkey.cast("double") / F.lit(float(2**64)) + F.lit(0.5)
-    keep_p = F.least(
-        F.lit(1.0), F.lit(4.0 * limit + 100.0) / F.col("_n")
+    if visits is not None:
+        vis = visits.select(F.col("node_id").alias("member"), "walk_id")
+    else:
+        vis = walks.select(F.explode("path").alias("member"), "walk_id")
+    # Per-MEMBER cap BEFORE the source fan-out. Exactness: if walk w
+    # is among the `limit` smallest (hash, walk_id) over a source's
+    # member-list union, then within EVERY member list containing w
+    # fewer than `limit` elements hash smaller (a subset has no more
+    # small elements than the union) — so w survives that member's
+    # top-`limit` and the union of per-member caps is a SUPERSET of
+    # every source's final selection. Without this, a member shared
+    # by many queried sources (the celebrity hub is in ~every
+    # neighborhood) fans its store-sized visit list out once PER
+    # SOURCE before any cap — the measured residual store term in
+    # BENCH/ppr_hot_source_r3. With it, the fan-out input is
+    # <= limit rows per member.
+    vis_m = vis.join(
+        F.broadcast(members.select("member").distinct()), "member", "left_semi"
     )
-    pre = (
-        hits.join(F.broadcast(n_hits), "source_id")
-        .filter(u01 <= keep_p)
-        .drop("_n")
+    wm = Window.partitionBy("member").orderBy(hkey, "walk_id")
+    vis_capped = (
+        vis_m.withColumn("_rm", F.row_number().over(wm))
+        .filter(F.col("_rm") <= limit)
+        .drop("_rm")
     )
+    hits = (
+        members.join(vis_capped, "member")
+        .select("source_id", "walk_id")
+        .distinct()
+    )
+    # Native two-level top-k: `row_number() <= limit` plans as
+    # WindowGroupLimit with a PARTIAL pass BELOW the exchange
+    # (plan-gated in test_ppr) — every map task keeps only its own
+    # `limit` smallest (hash, walk_id) rows per source, so a hot
+    # source (celebrity node visited by ~every walk in a 10^12-walk
+    # store) ships <= tasks * limit rows to its reduce task instead
+    # of its entire hit set, and no task ever sorts more than its own
+    # input slice. This replaces round 3's count-then-hash-threshold
+    # pre-filter, which paid a SECOND members-join/distinct pass just
+    # to size the threshold (the measured residual store-proportional
+    # term, BENCH/ppr_hot_source_r3): the hits pass now runs exactly
+    # once and the output is the same deterministic `limit` smallest
+    # hashes per source.
     w = Window.partitionBy("source_id").orderBy(hkey, "walk_id")
     capped = (
-        pre.withColumn("_rn", F.row_number().over(w))
+        hits.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= limit)
         .drop("_rn")
     )

@@ -469,6 +469,7 @@ def update_seen_filters(
     n_buckets: int = 64,
     bits_per_key: int = 10,
     filters_path: str | None = None,
+    add_counts: dict[int, int] | None = None,
 ) -> tuple[DataFrame, set[int]]:
     """Incremental filter maintenance: only buckets that gained urls
     are touched (the 10^10 form — a full rebuild scans the whole seen
@@ -493,15 +494,23 @@ def update_seen_filters(
     path mode.
 
     Returns (filters', touched_buckets) — the touched set feeds the
-    catalog's bucket-level partial commit."""
+    catalog's bucket-level partial commit.
+
+    `add_counts` ({bucket: n_new_urls}) lets a caller that already
+    aggregated the new urls by bucket (the engine's mint action does
+    exactly this) skip the duplicate collect here; when omitted it is
+    derived with one action."""
     spark = new_urls.sparkSession
     adds = new_urls.select(
         "url", url_bucket(F.col("url"), n_buckets).alias("bucket")
     )
-    add_counts = {
-        int(r["bucket"]): int(r["n"])
-        for r in adds.groupBy("bucket").agg(F.count("*").alias("n")).collect()
-    }
+    if add_counts is None:
+        add_counts = {
+            int(r["bucket"]): int(r["n"])
+            for r in adds.groupBy("bucket")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
     if not add_counts:
         return filters, set()
     existing = {

@@ -117,11 +117,12 @@ def test_many_source_sample_capped_pre_shuffle(spark):
 
 
 def test_per_source_sample_threshold_is_exact(spark):
-    """The hash-threshold pre-filter (bounds the per-source sort input
+    """The bounded top-k machinery (map-side partial WindowGroupLimit
     for hot sources) must be INVISIBLE in the output: per source, the
     sample is exactly the `limit` smallest (xxhash64(seed, walk_id),
     walk_id) pairs over ALL walks visiting the source's neighborhood —
-    the same rows the unthresholded window would pick."""
+    verified against an independent python selection over the full
+    store."""
     follows = {i: [0] for i in range(1, 30)}
     follows[0] = [1]
     edges = spark.createDataFrame(
@@ -236,3 +237,22 @@ def test_many_source_close_to_single(spark):
         "node_id long, rank double",
     )
     assert rank.l1_distance(single, m0) <= 0.05
+
+
+def test_per_source_sample_is_group_limited_pre_shuffle(spark):
+    """Plan gate for the hot-source bound: the per-source top-`limit`
+    selection plans as WindowGroupLimit with a PARTIAL pass BELOW the
+    source_id exchange — each map task forwards at most `limit` rows
+    per source, so a celebrity source's hit set never funnels through
+    one task's sort. No count/pre-filter pass exists anymore: the
+    members-join/distinct hits pass appears exactly once."""
+    edges = spark.createDataFrame([(1, 0), (2, 0)], "src long, dst long")
+    starts = spark.createDataFrame([(1,), (2,)], "node_id long")
+    walks = spark.createDataFrame(
+        [(i, i % 3, [i % 3, 0]) for i in range(30)],
+        "walk_id long, start_id long, path array<long>",
+    )
+    out = ppr.per_source_walk_sample(edges, walks, starts, limit=3, seed=7)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in p and "Partial" in p
+    assert p.count("partial_count") == 0  # no n_hits sizing pass
