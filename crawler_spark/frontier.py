@@ -526,22 +526,33 @@ def _parse_robots_one(text: str, user_agent: str) -> list:
     flush()
 
     ua = user_agent.lower()
-    best_len, best = -1, None
-    for g_agents, g_rules, g_delay in groups:
+
+    def match_len(g_agents: list[str]) -> int:
+        best = -1
         for a in g_agents:
             if a == "*":
-                match_len = 0
+                best = max(best, 0)
             elif ua.startswith(a):
-                match_len = len(a)
-            else:
-                continue
-            if match_len > best_len:
-                best_len, best = match_len, (g_rules, g_delay)
-    if best is None:
+                best = max(best, len(a))
+        return best
+
+    best_len = max((match_len(g) for g, _, _ in groups), default=-1)
+    if best_len < 0:
         return []
-    g_rules, g_delay = best
-    return [(allow, pat, g_delay) for allow, pat in g_rules] or (
-        [(True, "/", g_delay)] if g_delay is not None else []
+    # RFC 9309 §2.2.1: ALL groups matching the agent at the best
+    # specificity combine — two separate 'User-agent: *' blocks
+    # contribute both their rule sets, in document order. Crawl-delay
+    # (non-standard but widespread) takes the MAX across tied groups —
+    # the most conservative wait.
+    rules: list[tuple[bool, str]] = []
+    delay: float | None = None
+    for g_agents, g_rules, g_delay in groups:
+        if match_len(g_agents) == best_len:
+            rules.extend(g_rules)
+            if g_delay is not None:
+                delay = g_delay if delay is None else max(delay, g_delay)
+    return [(allow, pat, delay) for allow, pat in rules] or (
+        [(True, "/", delay)] if delay is not None else []
     )
 
 

@@ -329,6 +329,68 @@ def run_ingest_stream(
     return writer.start()
 
 
+def run_polite_ingest_stream(
+    engine: CrawlEngine,
+    pages_dir: str,
+    checkpoint_dir: str,
+    crawl_delay_s: float = 1.0,
+    burst_cap: float = 4.0,
+    watermark: str = "10 minutes",
+    now: _dt.datetime | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """`run_ingest_stream` behind the SAME stateful politeness gate
+    the crawl stream uses — scheduler-contract parity between the two
+    streaming entries (the reference's firehose is rate-limited per
+    host by the bounded-channel scheduler before processing,
+    cmd/crawler.go:101-133; a plain ingest stream bypasses that).
+
+    Arriving page urls flow through `polite_gate_stream` keyed by
+    host (over-budget urls defer in state for later micro-batches,
+    bounded by the gate's carry_cap — the reference's load-shedding);
+    each admitted micro-batch re-reads its page ROWS from `pages_dir`
+    with a batch left-semi join (pages are landed files, so content
+    never has to sit in gate state — only the narrow url queue does)
+    and runs the full process + arbiter + commit pipeline. Priority
+    within a host is arrival time (newest warc_ts first), matching
+    the reference's queue order. Returns the StreamingQuery."""
+    src = stream_pages(
+        engine.spark, pages_dir, watermark,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    cand = src.select(
+        "url",
+        F.unix_timestamp("warc_ts").cast("double").alias("priority"),
+        "warc_ts",
+    ).withColumn("host", url_host(F.col("url")))
+    admitted = polite_gate_stream(
+        cand, crawl_delay_s=crawl_delay_s, burst_cap=burst_cap
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        pages = (
+            engine.spark.read.schema(schemas.PAGES)
+            .parquet(pages_dir)
+            .join(batch_df.select("url"), "url", "left_semi")
+        )
+        ts = now or _dt.datetime.now(_dt.timezone.utc)
+        engine.epoch += 1
+        stats = engine.process_pages(pages, ts)
+        stats.update(engine.maybe_arbiter(ts))
+        stats["stream_batch_id"] = batch_id
+        engine._commit(ts, stats)
+
+    writer = (
+        admitted.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 LSH_PAIRS_OUT = "doc_a long, doc_b long"
 LSH_BUCKET_STATE = "members array<long>"
 

@@ -633,3 +633,37 @@ def test_catalog_lineage_queryable(spark, tmp_path):
     assert (2, True) in v1
     assert {(b, False) for b in (0, 1, 3)} <= v1
     assert all(r.rewritten for r in fl.filter("version = 0").collect())
+
+
+def test_parse_robots_merges_tied_groups(spark):
+    """RFC 9309 §2.2.1: rules from ALL groups matching the agent at
+    the best specificity combine — a second 'User-agent: *' block must
+    not be silently ignored, and crawl-delay takes the most
+    conservative (max) across the tied groups."""
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /a/\n"
+        "Crawl-delay: 1\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /b/\n"
+        "Crawl-delay: 3\n"
+    )
+    docs = spark.createDataFrame(
+        [("m.test", txt)], "host string, robots_txt string"
+    )
+    got = sorted(
+        (r.allow, r.pattern, r.crawl_delay_s)
+        for r in frontier.parse_robots(docs, user_agent="anybot").collect()
+    )
+    assert got == [(False, "/a/", 3.0), (False, "/b/", 3.0)]
+    # a more specific group still excludes the * groups entirely
+    txt2 = txt + "\nUser-agent: anybot\nDisallow: /c/\n"
+    docs2 = spark.createDataFrame(
+        [("m.test", txt2)], "host string, robots_txt string"
+    )
+    got2 = sorted(
+        (r.allow, r.pattern, r.crawl_delay_s)
+        for r in frontier.parse_robots(docs2, user_agent="anybot").collect()
+    )
+    assert got2 == [(False, "/c/", None)]

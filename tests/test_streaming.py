@@ -494,3 +494,79 @@ def test_stream_arbiter_matches_batch_epochs(spark, tmp_path):
                 assert len(changed) <= eng_s.n_table_buckets
                 partial_seen += 1
     assert partial_seen > 0
+
+
+def test_polite_ingest_matches_batch_scheduler(spark, tmp_path, monkeypatch):
+    """Scheduler-contract parity for the POLITE ingest stream
+    (reference: the firehose is rate-limited per host by the
+    bounded-channel scheduler BEFORE processing, cmd/crawler.go:
+    101-133): over a paced multi-host page replay — one parquet file
+    per tick, 2 pages per host per tick, matched budgets — each
+    micro-batch of run_polite_ingest_stream processes EXACTLY the
+    urls frontier.schedule_batch would fetch for the same arrivals,
+    tick by tick."""
+    import pandas as pd
+
+    from crawler_spark import frontier as frontier_mod
+
+    hosts = [f"h{j}.test" for j in range(4)]
+    ticks = [NOW + dt.timedelta(seconds=60 * t) for t in range(3)]
+    d = str(tmp_path / "pages_polite")
+    by_tick = []
+    for t, ts in enumerate(ticks):
+        rows = [
+            {
+                "url": f"https://{h}/t{t}u{i}",
+                "warc_ts": ts.replace(tzinfo=None),
+                "html": b"<html></html>",
+                "text": "x",
+                "lang": "en",
+            }
+            for h in hosts
+            for i in range(2)
+        ]
+        spark.createDataFrame(
+            pd.DataFrame(rows), schema=schemas.PAGES
+        ).coalesce(1).write.mode("append").parquet(d)
+        by_tick.append(rows)
+
+    eng = _mk(spark, tmp_path, "polite_ingest")
+    eng.bootstrap(["https://seed.test/"], NOW)
+
+    seen_batches: list[set] = []
+    orig = engine.CrawlEngine.process_pages
+
+    def spy(self, pages, ts):
+        seen_batches.append({r.url for r in pages.select("url").collect()})
+        return orig(self, pages, ts)
+
+    monkeypatch.setattr(engine.CrawlEngine, "process_pages", spy)
+    q = streaming.run_polite_ingest_stream(
+        eng, d, str(tmp_path / "ckpt_polite"),
+        crawl_delay_s=60.0, burst_cap=1.0, now=ticks[-1],
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    monkeypatch.undo()
+
+    # batch twin: enqueue each tick's arrivals, schedule one tick
+    frontier = None
+    want = []
+    for t, ts in enumerate(ticks):
+        cand_t = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    {"url": r["url"], "priority": float(ts.timestamp())}
+                    for r in by_tick[t]
+                ]
+            )
+        )
+        frontier = frontier_mod.enqueue(frontier, cand_t, ts)
+        batch, frontier = frontier_mod.schedule_batch(
+            frontier, None, ts, tick_seconds=60.0, batch_size=10**6,
+            default_crawl_delay_s=60.0,
+        )
+        want.append({r.url for r in batch.select("url").collect()})
+
+    got = [s for s in seen_batches if s]
+    assert got == want
