@@ -54,8 +54,9 @@ def main() -> None:
             .filter(F.col("doc_a") != F.col("doc_b"))
             .localCheckpoint(eager=True)
         )
+        stats: dict = {}
         t0 = time.time()
-        cc = dedup.connected_components(pairs)
+        cc = dedup.connected_components(pairs, stats=stats)
         n_comp = cc.select("component_id").distinct().count()
         sec = time.time() - t0
         results.append(
@@ -68,18 +69,20 @@ def main() -> None:
                 .distinct()
                 .count(),
                 "n_components": n_comp,
+                "rounds": stats["rounds"],
                 "seconds": round(sec, 3),
             }
         )
         print(results[-1], file=sys.stderr)
 
-    # adversarial: one path of 1M nodes (diameter 10^6)
+    # adversarial 1: one path of 1M nodes (diameter 10^6)
     n = 1_000_000
     chain = spark.range(n - 1).select(
         F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
     ).localCheckpoint(eager=True)
+    stats = {}
     t0 = time.time()
-    cc = dedup.connected_components(chain)
+    cc = dedup.connected_components(chain, stats=stats)
     one = cc.select("component_id").distinct().count()
     sec = time.time() - t0
     results.append(
@@ -87,17 +90,71 @@ def main() -> None:
             "graph": "path_1M",
             "n_edges": n - 1,
             "n_components": one,
+            "rounds": stats["rounds"],
             "seconds": round(sec, 3),
         }
     )
     print(results[-1], file=sys.stderr)
     assert one == 1
 
+    # adversarial 2: power-law hub at the largest random size — one
+    # giant component where HALF the edges hit a single celebrity node
+    # (degree ~n/2, the boilerplate-dup shape) and the hub id is the
+    # LARGEST node id, so every round must re-point its whole
+    # neighborhood (this is where the stars' degree re-balancing
+    # actually bites; a label-propagation CC funnels the hub's edge
+    # list through one task every round)
+    n_edges = max(int(s) for s in args.sizes.split(","))
+    n_nodes = n_edges // 2
+    hub = n_nodes - 1
+    hub_pairs = (
+        spark.range(n_edges)
+        .select(
+            F.when(
+                F.col("id") % 2 == 0,
+                F.pmod(F.xxhash64("id"), F.lit(n_nodes - 1)),
+            )
+            .otherwise(F.pmod(F.xxhash64("id", F.lit(3)), F.lit(n_nodes - 1)))
+            .alias("doc_a"),
+            F.when(F.col("id") % 2 == 0, F.lit(hub))
+            .otherwise(F.pmod(F.xxhash64("id", F.lit(4)), F.lit(n_nodes - 1)))
+            .alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .localCheckpoint(eager=True)
+    )
+    stats = {}
+    t0 = time.time()
+    cc = dedup.connected_components(hub_pairs, stats=stats)
+    n_comp = cc.select("component_id").distinct().count()
+    sec = time.time() - t0
+    results.append(
+        {
+            "graph": f"hub_half_degree_{n_edges}",
+            "n_edges": n_edges,
+            "n_components": n_comp,
+            "rounds": stats["rounds"],
+            "seconds": round(sec, 3),
+        }
+    )
+    print(results[-1], file=sys.stderr)
+    import math
+
+    assert stats["rounds"] <= 3 * math.ceil(math.log2(n_nodes)), stats
+
     rand = [r for r in results if r["graph"] == "random"]
+    hub_row = results[-1]
+    same_size_random = [
+        r for r in rand if r["n_edges"] == hub_row["n_edges"]
+    ][0]
     out = {
         "runs": results,
         "edge_growth": round(rand[-1]["n_edges"] / rand[0]["n_edges"], 1),
         "time_growth": round(rand[-1]["seconds"] / rand[0]["seconds"], 2),
+        "hub_vs_random_time": round(
+            hub_row["seconds"] / same_size_random["seconds"], 2
+        ),
+        "hub_rounds": hub_row["rounds"],
     }
     line = json.dumps(out)
     print(line)

@@ -107,9 +107,13 @@ def q_s2_admission_seen_filter(spark, sf_dir):
         .select(_user_url(F.col("uid")).alias("url"))
     )
     filters = seen.build_seen_filters(seen_urls, n_buckets=16)
-    # eager=False: the driver consumes this once — the lazy union is
-    # one action with the probe's upstream exchange reused, no
-    # checkpoint write (the q3 bench regression of round 2)
+    # eager=False, no release list: the fully-lazy mode. The driver
+    # consumes this once and cannot unpersist anything afterwards, so
+    # nothing is persisted — the probe UDF runs once per union branch
+    # (exchange reuse only covers the shuffle below the probe, not the
+    # probe itself; measured in BENCH/BASELINE.md). Acceptable here:
+    # correctness contract, tiny sf. The bench/engine use the
+    # persist-and-release mode, which runs the probe once.
     return seen.admit_new_urls(
         candidates, filters, seen_urls, 16, eager=False
     ).select("url")

@@ -399,6 +399,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iters: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, component_id) for every node appearing in `pairs`;
     component_id = the minimum node id reachable through the pair
@@ -414,8 +415,13 @@ def connected_components(
 
     Convergence is detected by an order-independent edge-set digest
     (count + sum of xxhash64(u, v)); at the fixpoint the edge set is
-    exactly the star forest u -> component-min, so the final groupBy
-    min is a no-op safety net for a max_iters cutoff.
+    exactly the star forest u -> component-min. Exiting via the
+    `max_iters` cutoff WITHOUT reaching the digest fixpoint raises —
+    the final groupBy-min does not close the relation transitively,
+    so a truncated run would silently return under-merged components
+    (wrong clusters are worse than a loud failure; raise the ceiling
+    for pathological diameters). `stats`, when given, receives
+    {"rounds": n, "converged": bool}.
     """
     edges = (
         pairs.select(
@@ -436,7 +442,10 @@ def connected_components(
         return (row["n"], row["h"], row["h2"])
 
     prev = None
+    converged = False
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         # large-star: connect every neighbor u > v to m = min(N(v) + {v})
         sym = edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -476,8 +485,18 @@ def connected_components(
         )
         cur = digest(edges)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not reach the star-forest "
+            f"fixpoint in max_iters={max_iters} rounds — returning "
+            f"would silently under-merge components; raise max_iters"
+        )
 
     stars = edges.groupBy(F.col("u").alias("node")).agg(
         F.min("v").alias("component_id")

@@ -448,3 +448,18 @@ def test_corpus_filter_reasons(spark):
     assert got[2] == (False, "short")
     assert got[3] == (False, "low_quality")
     assert got[4] == (False, "lang")
+
+
+def test_connected_components_truncation_raises(spark):
+    """Exiting via max_iters without the digest fixpoint must raise —
+    a truncated run would silently return under-merged components.
+    stats reports rounds + convergence for callers that monitor."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="under-merge|max_iters"):
+        dedup.connected_components(chain, max_iters=1)
+    stats: dict = {}
+    cc = dedup.connected_components(chain, stats=stats)
+    assert stats["converged"] and stats["rounds"] >= 2
+    assert {int(r.component_id) for r in cc.collect()} == {0}
