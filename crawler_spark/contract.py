@@ -491,6 +491,26 @@ def q_mm_resize_plan(spark, sf_dir):
     return multimodal.resize_plan(_mm_media(spark, sf_dir), target=64)
 
 
+def q_mm_decode_features(spark, sf_dir):
+    """REAL multimodal decode end-to-end (rows-only: BMP/WAV parsing
+    is not DuckDB-expressible; the decode itself is gated by struct-
+    level oracles in tests/test_ops.py): deterministic synthetic
+    media — valid 24-bit BMPs and PCM-16 WAVs — through the Arrow
+    decode+featurize UDF, feature vector exploded to rows."""
+    media = multimodal.synth_media(spark, 120, seed=9)
+    feats = multimodal.extract_features(media, feat_dim=8)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.posexplode("feature").alias("pos", "val"),
+    ).select(
+        "media_id",
+        "kind",
+        F.col("pos").cast("long").alias("pos"),
+        F.round("val", 6).alias("val"),
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(emb, emb.filter("vec_id < 10"), k=10)
@@ -597,6 +617,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_filter": q_corpus_filter,
     "mm_frame_plan": q_mm_frame_plan,
     "mm_resize_plan": q_mm_resize_plan,
+    "mm_decode_features": q_mm_decode_features,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "mc_pagerank": q_mc_pagerank,
