@@ -491,6 +491,34 @@ def q_mm_resize_plan(spark, sf_dir):
     return multimodal.resize_plan(_mm_media(spark, sf_dir), target=64)
 
 
+def q_dedup_incremental_exact(spark, sf_dir):
+    """Batch-vs-corpus exact dedup (the per-crawl-batch pipeline
+    shape): corpus = doc_id % 3 != 0 represented ONLY by its stored
+    (fp, keeper_id) table; batch = doc_id % 3 == 0 deduped against it
+    and within itself (ops/dedup.incremental_exact_dedup)."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus_fps = dedup.corpus_fingerprints(
+        docs.filter(F.col("doc_id") % 3 != 0)
+    )
+    return dedup.incremental_exact_dedup(
+        docs.filter(F.col("doc_id") % 3 == 0), corpus_fps
+    )
+
+
+def q_dedup_incremental_lsh(spark, sf_dir):
+    """Batch-vs-corpus MinHash-LSH candidates: only the batch is
+    shingled/signed; the corpus participates through its stored
+    signature table (sign once at admission)."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus_sigs = dedup.minhash_signatures(
+        docs.filter(F.col("doc_id") % 3 != 0), n_hashes=16
+    )
+    return dedup.incremental_lsh_pairs(
+        docs.filter(F.col("doc_id") % 3 == 0), corpus_sigs,
+        n_hashes=16, bands=4,
+    )
+
+
 def q_mm_decode_features(spark, sf_dir):
     """REAL multimodal decode end-to-end (rows-only: BMP/WAV parsing
     is not DuckDB-expressible; the decode itself is gated by struct-
@@ -610,6 +638,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_clusters": q_dedup_simhash_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_incremental_exact": q_dedup_incremental_exact,
+    "dedup_incremental_lsh": q_dedup_incremental_lsh,
     "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
     "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
     "text_stats": q_text_stats,
@@ -699,6 +729,19 @@ with toks as (
 ), sh as (
   select doc_id, ({weights}) as simhash from bits
 )"""
+
+
+def _minhash_incremental_sql(n_hashes: int, bands: int) -> str:
+    """Batch-vs-corpus variant of _minhash_sql: same shingle/sig/band
+    CTEs over ALL documents (equality of the banding scheme is the
+    point), candidate join restricted to (batch, corpus) cross-side
+    pairs."""
+    base = _minhash_sql(n_hashes, bands)
+    head, _, _ = base.rpartition("select distinct")
+    return head + """select distinct a.doc_id as new_id, b.doc_id as corpus_id
+from bands a join bands b on a.band = b.band and a.key = b.key
+where a.doc_id % 3 = 0 and b.doc_id % 3 != 0
+"""
 
 
 def _minhash_sql(n_hashes: int, bands: int) -> str:
@@ -922,6 +965,17 @@ select doc_id, min(doc_id) over (partition by f) as keeper_id,
 from fp
 """,
     "dedup_minhash_lsh": _minhash_sql(16, 4),
+    "dedup_incremental_exact": """
+with fp as (select doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) f
+            from documents),
+corpus as (select f, min(doc_id) as ckeep from fp where doc_id % 3 != 0 group by f),
+batch as (select doc_id, f from fp where doc_id % 3 = 0),
+bk as (select f, min(doc_id) as bkeep from batch group by f)
+select b.doc_id, coalesce(c.ckeep, k.bkeep) as keeper_id,
+       b.doc_id != coalesce(c.ckeep, k.bkeep) as is_dup
+from batch b left join corpus c using (f) join bk k using (f)
+""",
+    "dedup_incremental_lsh": _minhash_incremental_sql(16, 4),
     "dedup_ngram_jaccard": """
 with sh as (select doc_id, lower(text) lt from documents),
  shingles as (

@@ -160,21 +160,19 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def band_keys(
+    sig: DataFrame,
     n_hashes: int = 16,
     bands: int = 4,
-    k: int = 3,
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """(doc_a, doc_b) with doc_a < doc_b sharing >= 1 LSH band. Rows
-    per band bucket join only within the bucket (banding theorem:
-    P[candidate] = 1-(1-J^r)^b with r = n_hashes/bands)."""
+    """(id, band, key) LSH band rows from a signature table — the
+    join key side of the banding scheme, factored out so a STORED
+    signature table (sign-once-at-admission) can band without
+    re-shingling its documents."""
     assert n_hashes % bands == 0
     r = n_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, n_hashes, k)
-    band_rows = sig.select(
+    return sig.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -190,6 +188,21 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """(doc_a, doc_b) with doc_a < doc_b sharing >= 1 LSH band. Rows
+    per band bucket join only within the bucket (banding theorem:
+    P[candidate] = 1-(1-J^r)^b with r = n_hashes/bands)."""
+    sig = minhash_signatures(docs, id_col, text_col, n_hashes, k)
+    band_rows = band_keys(sig, n_hashes, bands, id_col)
     a = band_rows.select(F.col(id_col).alias("doc_a"), "band", "key")
     b = band_rows.select(F.col(id_col).alias("doc_b"), "band", "key")
     return (
@@ -564,4 +577,95 @@ def dedup_clusters(
             "keeper_id",
             (F.col(id_col) != F.col("keeper_id")).alias("is_dup"),
         )
+    )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    corpus_fps: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact dedup of an INCOMING batch against an accumulated corpus
+    — the per-crawl-batch pipeline shape: the corpus is represented
+    only by its stored (fp, keeper_id) fingerprint table, never
+    re-scanned or re-hashed. A new doc is a dup of the corpus keeper
+    when its fingerprint is already known, else of the smallest-id
+    doc in its own batch sharing the fingerprint.
+
+    Returns (id, keeper_id, is_dup) for the batch rows. 100 TB shape:
+    the batch's narrow (id, fp) pass is delta-sized, so AQE broadcasts
+    it against the (fp-bucketed, partition-prunable) corpus table —
+    the corpus is probed, never shuffled; within-batch keepers come
+    from one map-side-combining agg (no window; see exact_dedup)."""
+    fps = new_docs.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
+    )
+    batch_keep = fps.groupBy("fp").agg(
+        F.min(id_col).alias("_batch_keeper")
+    )
+    return (
+        fps.join(
+            corpus_fps.select(
+                "fp", F.col("keeper_id").alias("_corpus_keeper")
+            ),
+            "fp",
+            "left",
+        )
+        .join(batch_keep, "fp")
+        .select(
+            F.col(id_col),
+            F.coalesce("_corpus_keeper", "_batch_keeper").alias("keeper_id"),
+            (
+                F.col(id_col)
+                != F.coalesce("_corpus_keeper", "_batch_keeper")
+            ).alias("is_dup"),
+        )
+    )
+
+
+def corpus_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(fp, keeper_id) fingerprint table of a corpus — the stored
+    side of incremental_exact_dedup (build once at admission, then
+    maintain by appending each admitted batch's new fingerprints)."""
+    return (
+        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper_id"))
+    )
+
+
+def incremental_lsh_pairs(
+    new_docs: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """(new_id, corpus_id) near-dup CANDIDATES between an incoming
+    batch and an already-signed corpus. Only the batch is shingled
+    and signed; the corpus participates through its stored MinHash
+    signature table (minhash_signatures output, persisted at
+    admission — sign once, serve every later batch). The band join
+    touches only buckets the batch's keys land in: at 100 TB the
+    corpus band table is bucketed by key and the delta-sized batch
+    side broadcasts, so no corpus shuffle and no corpus re-shingling
+    per batch. Same banding scheme as lsh_candidate_pairs — the
+    candidate set equals the (batch x corpus) cross-side subset of a
+    full-corpus run (gated in tests)."""
+    new_sigs = minhash_signatures(new_docs, id_col, text_col, n_hashes, k)
+    nb = band_keys(new_sigs, n_hashes, bands, id_col).select(
+        F.col(id_col).alias("new_id"), "band", "key"
+    )
+    cb = band_keys(corpus_sigs, n_hashes, bands, id_col).select(
+        F.col(id_col).alias("corpus_id"), "band", "key"
+    )
+    return (
+        nb.join(cb, ["band", "key"])
+        .select("new_id", "corpus_id")
+        .distinct()
     )

@@ -463,3 +463,46 @@ def test_connected_components_truncation_raises(spark):
     cc = dedup.connected_components(chain, stats=stats)
     assert stats["converged"] and stats["rounds"] >= 2
     assert {int(r.component_id) for r in cc.collect()} == {0}
+
+
+def test_incremental_dedup_matches_full_run(spark, docs):
+    """Batch-vs-corpus dedup equals the corresponding slice of a
+    whole-corpus run: exact keepers point at the corpus keeper when
+    the fingerprint is already stored, and incremental LSH candidates
+    are EXACTLY the (batch x corpus) cross-side pairs of the
+    full-corpus banding (same signatures, no re-shingling of the
+    corpus)."""
+    corpus = docs.filter("doc_id % 2 = 0")
+    batch = docs.filter("doc_id % 2 = 1")
+
+    inc = {
+        r.doc_id: (r.keeper_id, r.is_dup)
+        for r in dedup.incremental_exact_dedup(
+            batch, dedup.corpus_fingerprints(corpus)
+        ).collect()
+    }
+    # doc 1 is an exact dup of corpus doc 0; 3 and 5 are unique in
+    # their batch -> their own keepers
+    assert inc[1] == (0, True)
+    assert inc[3] == (3, False)
+    assert inc[5] == (5, False)
+
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.lsh_candidate_pairs(docs, n_hashes=16, bands=8).collect()
+    }
+    want_cross = {
+        (a, b) if a % 2 == 1 else (b, a)
+        for a, b in full
+        if (a % 2) != (b % 2)
+    }
+    got = {
+        (r.new_id, r.corpus_id)
+        for r in dedup.incremental_lsh_pairs(
+            batch,
+            dedup.minhash_signatures(corpus, n_hashes=16),
+            n_hashes=16,
+            bands=8,
+        ).collect()
+    }
+    assert got == want_cross and len(got) > 0
