@@ -491,6 +491,12 @@ def q_mm_resize_plan(spark, sf_dir):
     return multimodal.resize_plan(_mm_media(spark, sf_dir), target=64)
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters (dup-line fractions + top-token
+    fraction) over the documents table."""
+    return textstats.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_incremental_exact(spark, sf_dir):
     """Batch-vs-corpus exact dedup (the per-crawl-batch pipeline
     shape): corpus = doc_id % 3 != 0 represented ONLY by its stored
@@ -645,6 +651,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "vocab_top_tokens": q_vocab_top_tokens,
     "corpus_filter": q_corpus_filter,
+    "text_repetition": q_text_repetition,
     "mm_frame_plan": q_mm_frame_plan,
     "mm_resize_plan": q_mm_resize_plan,
     "mm_decode_features": q_mm_decode_features,
@@ -965,6 +972,36 @@ select doc_id, min(doc_id) over (partition by f) as keeper_id,
 from fp
 """,
     "dedup_minhash_lsh": _minhash_sql(16, 4),
+    "text_repetition": """
+with lines_u as (
+  select doc_id, l from documents, unnest(string_split(text, chr(10))) as t(l)
+  where length(l) > 0
+), per_line as (
+  select doc_id, l, count(*) c, length(l) len from lines_u group by doc_id, l
+), linestats as (
+  select doc_id, sum(c) as n_lines,
+         round(1.0 - count(*) * 1.0 / sum(c), 6) as dup_line_frac,
+         round(sum((c - 1) * len) * 1.0 / sum(c * len), 6) as dup_line_char_frac
+  from per_line group by doc_id
+), tok_u as (
+  select doc_id, t from documents,
+         unnest(string_split_regex(lower(text), '[^a-z0-9]+')) as s(t)
+  where length(t) > 0
+), per_tok as (
+  select doc_id, t, count(*) c from tok_u group by doc_id, t
+), tokstats as (
+  select doc_id, round(max(c) * 1.0 / sum(c), 6) as top_token_frac
+  from per_tok group by doc_id
+)
+select d.doc_id,
+       coalesce(l.n_lines, 0) as n_lines,
+       coalesce(l.dup_line_frac, 0.0) as dup_line_frac,
+       coalesce(l.dup_line_char_frac, 0.0) as dup_line_char_frac,
+       coalesce(k.top_token_frac, 0.0) as top_token_frac
+from documents d
+left join linestats l using (doc_id)
+left join tokstats k using (doc_id)
+""",
     "dedup_incremental_exact": """
 with fp as (select doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) f
             from documents),

@@ -172,3 +172,74 @@ def corpus_filter(
         reason.isNull().alias("keep"),
         reason.alias("reason"),
     )
+
+
+def repetition_stats(
+    docs: "DataFrame", id_col: str = "doc_id", text_col: str = "text"
+) -> "DataFrame":
+    """Gopher-style repetition quality signals per document (Rae et
+    al. 2021, "Scaling Language Models: Methods, Analysis & Insights
+    from Training Gopher", Appendix A1.1 repetition filters — the
+    standard web-corpus filter family):
+
+      - n_lines            non-empty lines
+      - dup_line_frac      fraction of lines that repeat an earlier
+                           identical line
+      - dup_line_char_frac fraction of line characters inside those
+                           repeated occurrences
+      - top_token_frac     fraction of alphanumeric tokens taken by
+                           the single most frequent token
+
+    Scale shape: explode -> ONE partially-aggregated groupBy per
+    signal family (lines, tokens) -> per-doc roll-up join. No window,
+    no per-row Python; a boilerplate-heavy doc (the thing these
+    filters catch) contributes its repeated line ONCE per distinct
+    value to the shuffle thanks to map-side combine. Rounded to 6 dp
+    (oracle parity)."""
+    from pyspark.sql import DataFrame  # noqa: F401 (type only)
+
+    base = docs.select(F.col(id_col), F.col(text_col).alias("_t"))
+    lines = base.select(
+        id_col, F.explode(F.split("_t", "\n")).alias("line")
+    ).filter(F.length("line") > 0)
+    line_stats = (
+        lines.groupBy(id_col, "line")
+        .agg(F.count("*").alias("c"), F.length(F.first("line")).alias("len"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_lines"),
+            (1.0 - F.count("*") / F.sum("c")).alias("dup_line_frac"),
+            (
+                F.sum((F.col("c") - 1) * F.col("len"))
+                / F.sum(F.col("c") * F.col("len"))
+            ).alias("dup_line_char_frac"),
+        )
+    )
+    toks = base.select(
+        id_col,
+        F.explode(F.split(F.lower("_t"), "[^a-z0-9]+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    tok_stats = (
+        toks.groupBy(id_col, "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg((F.max("c") / F.sum("c")).alias("top_token_frac"))
+    )
+    return (
+        docs.select(id_col)
+        .join(line_stats, id_col, "left")
+        .join(tok_stats, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.round(F.coalesce("dup_line_frac", F.lit(0.0)), 6).alias(
+                "dup_line_frac"
+            ),
+            F.round(F.coalesce("dup_line_char_frac", F.lit(0.0)), 6).alias(
+                "dup_line_char_frac"
+            ),
+            F.round(F.coalesce("top_token_frac", F.lit(0.0)), 6).alias(
+                "top_token_frac"
+            ),
+        )
+    )

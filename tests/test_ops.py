@@ -506,3 +506,29 @@ def test_incremental_dedup_matches_full_run(spark, docs):
         ).collect()
     }
     assert got == want_cross and len(got) > 0
+
+
+def test_repetition_stats_planted(spark):
+    """Gopher repetition filters against hand-computed values: a
+    boilerplate doc (same line 3x + 1 unique), a clean doc, and an
+    empty doc."""
+    rows = [
+        (0, "spam line\nspam line\nspam line\nunique"),
+        (1, "alpha beta\ngamma delta"),
+        (2, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textstats.repetition_stats(df).collect()}
+    r0 = got[0]
+    assert r0.n_lines == 4
+    assert abs(r0.dup_line_frac - (1 - 2 / 4)) < 1e-9
+    # repeated occurrences: 2 extra copies of 'spam line' (9 chars)
+    # over total line chars 3*9 + 6
+    assert abs(r0.dup_line_char_frac - round(18 / 33, 6)) < 1e-9
+    # tokens: spam x3, line x3, unique x1 -> top 3/7
+    assert abs(r0.top_token_frac - round(3 / 7, 6)) < 1e-9
+    r1 = got[1]
+    assert (r1.n_lines, r1.dup_line_frac, r1.top_token_frac) == (2, 0.0, 0.25)
+    r2 = got[2]
+    assert (r2.n_lines, r2.dup_line_frac, r2.dup_line_char_frac,
+            r2.top_token_frac) == (0, 0.0, 0.0, 0.0)
