@@ -994,7 +994,7 @@ with lines_u as (
   from per_tok group by doc_id
 )
 select d.doc_id,
-       coalesce(l.n_lines, 0) as n_lines,
+       coalesce(cast(l.n_lines as bigint), 0) as n_lines,
        coalesce(l.dup_line_frac, 0.0) as dup_line_frac,
        coalesce(l.dup_line_char_frac, 0.0) as dup_line_char_frac,
        coalesce(k.top_token_frac, 0.0) as top_token_frac

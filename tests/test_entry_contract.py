@@ -1,12 +1,22 @@
 """Replicates the driver's correctness gate: for every queries() entry
 with an oracle, run the Spark query AND the DuckDB SQL at sf=0.01 and
 compare row count, column names, and order-insensitive values
-(doubles canonicalized to 9 significant decimals)."""
+(doubles canonicalized to 9 significant decimals).
+
+Both sides are canonicalized FROM PANDAS (Spark .toPandas(), DuckDB
+.df()) because that is the dtype view the driver hashes — dtype drift
+(e.g. DuckDB sum() returning HUGEINT, which pandas turns into float64
+against Spark's int64) must fail HERE, not in the driver. Round 4
+shipped exactly that class of red (text_repetition) because this
+harness compared fetchall() Python values, where HUGEINT arrives as a
+plain int and the drift is invisible."""
 
 import math
 import os
 
 import duckdb
+import numpy as np
+import pandas as pd
 import pytest
 
 import __spark_entry__ as entry_mod
@@ -29,32 +39,51 @@ def ddb():
 
 
 def _canon(v):
-    if isinstance(v, bool):
-        return "b:" + str(v)
-    if isinstance(v, float):
-        if math.isnan(v):
+    # dtype-sensitive on purpose: int64 12 and float64 12.0 must differ,
+    # exactly as they do under the driver's pandas value-hash.
+    if v is None or v is pd.NaT:
+        return "null"
+    if isinstance(v, (bool, np.bool_)):
+        return "b:" + str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return "i:" + str(int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
             return "f:nan"
-        return f"f:{v:.9g}"
-    if isinstance(v, (list, tuple)):
+        return f"f:{f:.9g}"
+    if isinstance(v, pd.Timestamp):
+        return "t:" + str(v)
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(_canon(x) for x in v) + "]"
     return f"{type(v).__name__[:1]}:{v}"
 
 
-def _rows_spark(df):
-    cols = sorted(df.columns)
+def _rows_pdf(pdf):
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
     return sorted(
-        "|".join(_canon(r[c]) for c in cols) for r in df.collect()
-    ), cols
+        "|".join(_canon(v) for v in row) for row in pdf.itertuples(index=False)
+    ), list(cols)
+
+
+def _rows_spark(df):
+    return _rows_pdf(df.toPandas())
 
 
 def _rows_duck(con, sql):
-    cur = con.sql(sql)
-    names = cur.columns
-    order = sorted(range(len(names)), key=lambda i: names[i])
-    rows = cur.fetchall()
-    return sorted(
-        "|".join(_canon(r[i]) for i in order) for r in rows
-    ), sorted(names)
+    return _rows_pdf(con.sql(sql).df())
+
+
+def test_harness_is_dtype_sensitive(ddb):
+    """DuckDB sum(BIGINT) returns HUGEINT, which pandas renders as
+    float64 — the harness must distinguish that from int64 (this is
+    the exact drift that shipped the round-4 text_repetition red;
+    the old fetchall() path saw both as plain Python ints)."""
+    got, _ = _rows_duck(ddb, "select sum(x) as n from (values (5), (7)) t(x)")
+    want, _ = _rows_duck(ddb, "select cast(12 as bigint) as n")
+    assert got[0].startswith("f:") and want[0].startswith("i:")
+    assert got != want
 
 
 QUERY_NAMES = sorted(entry_mod.oracle_sql())
