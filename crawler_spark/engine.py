@@ -72,7 +72,14 @@ _PENDING_KEYS = {
     "visits": ["node_id", "walk_id"],
     "edges": ["src", "dst"],
     "nodes": ["node_id"],
+    "doc_fps": ["fp"],
+    "doc_bands": ["doc_id", "band", "key"],
 }
+
+# content-dedup state table schemas (sign-at-admission corpus side of
+# ops.dedup.incremental_exact_dedup / incremental_lsh_pairs)
+_DOC_FPS_SCHEMA = "fp string, keeper_id long"
+_DOC_BANDS_SCHEMA = "doc_id long, band int, key string"
 
 
 class CrawlEngine:
@@ -87,6 +94,10 @@ class CrawlEngine:
         batch_size: int = schemas.DEFAULT_QUERY_BATCH,
         tick_seconds: float = 60.0,
         promotion_wait_s: float = schemas.ARBITER_PROMOTION_WAIT_S,
+        dedup_state: bool = True,
+        dedup_hashes: int = 16,
+        dedup_bands: int = 4,
+        dedup_shingle_k: int = 3,
     ):
         self.spark = spark
         self.cat = Catalog(root)
@@ -150,6 +161,25 @@ class CrawlEngine:
         self.visits: DataFrame | None = None  # maintained inverted index
         self.frontier: DataFrame | None = None
         self.filters: DataFrame | None = None  # bucketed seen-set blooms
+        # corpus content-dedup state (the training-data analog of the
+        # URL-seen set): fingerprint and MinHash band tables maintained
+        # per admitted batch, exactly like `visits` — consult-and-
+        # append per event, never rebuilt (the reference's admission/
+        # Replace semantics, pkg/crawler/process.go:112-117). Both are
+        # MONOTONE content-seen sketches: a re-crawled url whose text
+        # changed appends its new fingerprint/bands and keeps the old
+        # ones, so "is this content a dup of anything the crawl has
+        # EVER admitted" stays answerable without storing any text.
+        self.dedup_state = dedup_state
+        self.dedup_hashes = dedup_hashes
+        self.dedup_bands = dedup_bands
+        self.dedup_shingle_k = dedup_shingle_k
+        self.doc_fps: DataFrame | None = None  # (fp, keeper_id)
+        self.doc_bands: DataFrame | None = None  # (doc_id, band, key)
+        self._doc_fps_dirty: set[int] | None = None
+        self._doc_bands_dirty: set[int] | None = None
+        # tables rolled back by resume's cross-table reconciliation
+        self.last_resume_rollback: list[str] = []
 
     # ---- lifecycle ----
 
@@ -190,6 +220,9 @@ class CrawlEngine:
         self.filters = seen.build_seen_filters(
             self.nodes.select("url"), n_buckets=self.n_buckets
         )
+        if self.dedup_state:
+            self.doc_fps = spark.createDataFrame([], _DOC_FPS_SCHEMA)
+            self.doc_bands = spark.createDataFrame([], _DOC_BANDS_SCHEMA)
         self.epoch = 0
         # the one-time bootstrap scans that seed the incremental
         # counters (every later epoch maintains them from deltas)
@@ -212,16 +245,26 @@ class CrawlEngine:
             return df
         return self.spark.read.schema(sch).parquet(path)
 
-    def _load(self, name: str):
-        """Read a table's current snapshot, stripping/normalizing the
-        bucket partition column the bucketed tables carry on disk."""
-        cur = self.cat.current(name)
+    def _load(self, name: str, snap=None):
+        """Read a table's current (or a given) snapshot, stripping/
+        normalizing the bucket partition column the bucketed tables
+        carry on disk."""
+        cur = snap if snap is not None else self.cat.current(name)
         if cur is not None:
             df = self._read_snapshot(name, cur.path)
         else:
             df = self.cat.read(self.spark, name)
         if (
-            name in ("walks", "edges", "nodes", "frontier", "visits")
+            name
+            in (
+                "walks",
+                "edges",
+                "nodes",
+                "frontier",
+                "visits",
+                "doc_fps",
+                "doc_bands",
+            )
             and "bucket" in df.columns
         ):
             df = df.drop("bucket")
@@ -233,28 +276,95 @@ class CrawlEngine:
             )
         return df
 
+    def _snapshot_capped(self, name: str, epoch: int):
+        """Latest snapshot of `name` with epoch <= `epoch`. Raises
+        FileNotFoundError when the table has no snapshots at all, and
+        RuntimeError when every retained snapshot is NEWER than the
+        cap (vacuumed past the rollback point — resume cannot
+        reconcile)."""
+        snaps = self.cat.snapshots(name)
+        if not snaps:
+            raise FileNotFoundError(f"no snapshot for table {name!r}")
+        cands = [s for s in snaps if s.epoch <= epoch]
+        if not cands:
+            raise RuntimeError(
+                f"table {name!r} has no retained snapshot at or before "
+                f"epoch {epoch}; cross-table reconciliation needs a "
+                f"one-epoch rollback window (raise keep_versions)"
+            )
+        return cands[-1]
+
     def resume(self) -> None:
-        """Reload every table from its last committed snapshot."""
-        for name in ("nodes", "edges", "walks", "frontier", "filters"):
-            setattr(self, name, self._load(name))
+        """Reload every table from its last committed snapshot.
+
+        Cross-table epoch reconciliation: the per-table commits run as
+        CONCURRENT actions (see _commit), so a crash mid-commit can
+        leave an arbitrary subset of tables at epoch N with the rest
+        still at N-1. Resume anchors on the highest epoch EVERY core
+        table reached (min over the per-table latest epochs) and rolls
+        any table that got further back to its snapshot at that epoch
+        — snapshot versions are retained (catalog keep_versions)
+        precisely so this one-epoch rollback is always available.
+        Tables rolled back this way are recorded in
+        `self.last_resume_rollback`. Without this, resume would
+        silently serve mixed-epoch state after a mid-commit crash."""
+        core = ("nodes", "edges", "walks", "frontier", "filters")
+        latest = {n: self.cat.current(n) for n in core}
+        missing = [n for n, s in latest.items() if s is None]
+        if missing:
+            raise FileNotFoundError(f"no snapshot for table(s) {missing}")
+        resume_epoch = min(s.epoch for s in latest.values())
+        self.last_resume_rollback = sorted(
+            n for n, s in latest.items() if s.epoch > resume_epoch
+        )
+        chosen = {}
+        for name in core:
+            snap = latest[name]
+            if snap.epoch > resume_epoch:
+                snap = self._snapshot_capped(name, resume_epoch)
+            chosen[name] = snap
+            setattr(self, name, self._load(name, snap))
             self._snap_frames[name] = getattr(self, name)
-        cur_nodes = self.cat.current("nodes")
+        cur_nodes = chosen["nodes"]
         self.epoch = cur_nodes.epoch
         # counters from the manifest (metadata, no scan): |edges| and
         # totalVisits are snapshot row counts; lastWalkID rides in the
         # commit metrics (with a one-time scan fallback for snapshots
         # written before the counter existed)
-        self.n_edges = self.cat.current("edges").n_rows
+        self.n_edges = chosen["edges"].n_rows
         try:
-            self.visits = self._load("visits")
+            vsnap = self._snapshot_capped("visits", resume_epoch)
+            self.visits = self._load("visits", vsnap)
             self._snap_frames["visits"] = self.visits
-            self.total_visits = self.cat.current("visits").n_rows
+            self.total_visits = vsnap.n_rows
             self._visits_dirty = set()
         except FileNotFoundError:
             # pre-index snapshot: derive once and commit next epoch
             self.visits = walks_gen.visits_of(self.walks)
             self.total_visits = walks_gen.total_visits(self.walks)
             self._visits_dirty = None  # full write on next commit
+        try:
+            fsnap = self._snapshot_capped("doc_fps", resume_epoch)
+            bsnap = self._snapshot_capped("doc_bands", resume_epoch)
+            self.doc_fps = self._load("doc_fps", fsnap)
+            self.doc_bands = self._load("doc_bands", bsnap)
+            self._snap_frames["doc_fps"] = self.doc_fps
+            self._snap_frames["doc_bands"] = self.doc_bands
+            self._doc_fps_dirty = set()
+            self._doc_bands_dirty = set()
+        except FileNotFoundError:
+            # pre-dedup-state store: start fresh (full write next
+            # commit) — the sketch is monotone, so late adoption only
+            # means earlier content isn't consulted, never wrong dups
+            if self.dedup_state:
+                self.doc_fps = self.spark.createDataFrame(
+                    [], _DOC_FPS_SCHEMA
+                )
+                self.doc_bands = self.spark.createDataFrame(
+                    [], _DOC_BANDS_SCHEMA
+                )
+                self._doc_fps_dirty = None
+                self._doc_bands_dirty = None
         nid = cur_nodes.metrics.get("next_walk_id")
         self.next_walk_id = (
             int(nid) if nid is not None else walks_gen.next_walk_id(self.walks)
@@ -294,6 +404,14 @@ class CrawlEngine:
         return F.pmod(
             F.xxhash64(F.col(key_col).cast("long")),
             F.lit(self.n_table_buckets),
+        ).cast("int")
+
+    def _bucket_of_str(self, key_col: str):
+        """Bucket expr for STRING-keyed tables (doc_fps by fp,
+        doc_bands by band key) — no long cast (casting a hex/band
+        string to long would null out)."""
+        return F.pmod(
+            F.xxhash64(F.col(key_col)), F.lit(self.n_table_buckets)
         ).cast("int")
 
     def _mark_dirty(self, attr: str, buckets) -> None:
@@ -339,6 +457,8 @@ class CrawlEngine:
                 self._nodes_dirty,
             ),
             "frontier": (self._host_bucket(), self._frontier_dirty),
+            "doc_fps": (self._bucket_of_str("fp"), self._doc_fps_dirty),
+            "doc_bands": (self._bucket_of_str("key"), self._doc_bands_dirty),
         }
         def _commit_one(name: str, df: DataFrame) -> None:
             if name in bucketed:
@@ -403,17 +523,24 @@ class CrawlEngine:
         # phase of a small delta epoch
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=6) as pool:
+        to_commit = [
+            ("nodes", self.nodes),
+            ("edges", self.edges),
+            ("walks", self.walks),
+            ("visits", self.visits),
+            ("frontier", self.frontier),
+            ("filters", self.filters),
+        ]
+        # the dedup-state tables commit alongside the rest whenever
+        # they exist (bootstrap/resume initialize them; a standalone
+        # process_pages caller with dedup_state=False never does)
+        if self.doc_fps is not None:
+            to_commit.append(("doc_fps", self.doc_fps))
+        if self.doc_bands is not None:
+            to_commit.append(("doc_bands", self.doc_bands))
+        with ThreadPoolExecutor(max_workers=8) as pool:
             futures = [
-                pool.submit(_commit_one, name, df)
-                for name, df in (
-                    ("nodes", self.nodes),
-                    ("edges", self.edges),
-                    ("walks", self.walks),
-                    ("visits", self.visits),
-                    ("frontier", self.frontier),
-                    ("filters", self.filters),
-                )
+                pool.submit(_commit_one, name, df) for name, df in to_commit
             ]
             for f in futures:
                 f.result()
@@ -423,6 +550,10 @@ class CrawlEngine:
         self._nodes_dirty = set()
         self._frontier_dirty = set()
         self._visits_dirty = set()
+        if self.doc_fps is not None:
+            self._doc_fps_dirty = set()
+        if self.doc_bands is not None:
+            self._doc_bands_dirty = set()
         self._pending = {}
         # snapshot paths are versioned: superseded reads never hit
         # again, so drop them rather than accumulate one per epoch
@@ -763,6 +894,21 @@ class CrawlEngine:
         n_deltas = sum(int(r["n"]) for r in drows)
 
         stats = {"pages": n_pages, "new_nodes": n_new, "deltas": n_deltas}
+        if self.dedup_state and n_pages:
+            # content-dedup state maintenance: the admitted batch is
+            # fingerprinted + MinHash-signed ONCE here (sign at
+            # admission), consulted against the stored corpus tables,
+            # and its new fingerprints/bands appended at commit. The
+            # (url, node_id) side rides the already-materialized
+            # pages_auth checkpoint; the text column is re-read from
+            # the batch with full column pruning (never the html/
+            # extraction path).
+            docs = (
+                latest.select("url", "text")
+                .join(pages_auth.select("url", "node_id"), "url")
+                .select(F.col("node_id").alias("doc_id"), "text")
+            )
+            stats.update(self._ingest_dedup_state(docs))
         if n_deltas:
             self.n_edges += sum(int(r["na"]) - int(r["nr"]) for r in drows)
             delta_buckets = sorted(int(r["b"]) for r in drows)
@@ -851,6 +997,146 @@ class CrawlEngine:
             self.walks_changed += n_up
             stats["walks_updated"] = n_up
         return stats
+
+    def _ingest_dedup_state(self, docs: DataFrame) -> dict:
+        """Consult-and-append corpus content-dedup maintenance for one
+        admitted batch of (doc_id, text) rows — the engine-state form
+        of ops.dedup.incremental_exact_dedup / incremental_lsh_pairs
+        (reference analog: admission/Replace consults and updates
+        per-event state, never rebuilds it, pkg/crawler/process.go:
+        112-117).
+
+        100 TB shape: the corpus participates ONLY through its stored
+        (fp, keeper_id) and (doc_id, band, key) tables, partition-
+        pruned to the batch's key buckets and probed with the
+        delta-sized batch side broadcast — the corpus text is never
+        re-read, never re-shingled, never shuffled. Appends are
+        delta-composed bucket commits like every other table. Three
+        driver actions per batch: batch-fp rollup, one tagged
+        new-fp/band bucket collect, candidate count."""
+        from .ops import dedup as dd
+
+        if self.doc_fps is None:
+            self.doc_fps = self.spark.createDataFrame([], _DOC_FPS_SCHEMA)
+            self._doc_fps_dirty = None  # fresh table -> full write
+        if self.doc_bands is None:
+            self.doc_bands = self.spark.createDataFrame(
+                [], _DOC_BANDS_SCHEMA
+            )
+            self._doc_bands_dirty = None
+        # ---- exact side: batch fingerprints, rolled up per fp (the
+        # within-batch keeper = min doc_id, matching exact_dedup)
+        bk = (
+            docs.select(
+                F.col("doc_id"), dd.fingerprint(F.col("text")).alias("fp")
+            )
+            .groupBy("fp")
+            .agg(
+                F.min("doc_id").alias("keeper_id"),
+                F.count("*").alias("_n"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        # action 1: materializes bk; yields the batch's fp buckets
+        # (corpus-pruning input), doc count and fp count
+        arows = (
+            bk.groupBy(self._bucket_of_str("fp").alias("b"))
+            .agg(F.count("*").alias("nf"), F.sum("_n").alias("nd"))
+            .collect()
+        )
+        n_docs = sum(int(r["nd"]) for r in arows)
+        if not n_docs:
+            return {"docs": 0, "dup_exact": 0, "neardup_cands": 0}
+        fp_buckets = [int(r["b"]) for r in arows]
+        corpus_fp = self._pruned_table("doc_fps", fp_buckets)
+        if corpus_fp is None:
+            corpus_fp = self.doc_fps
+        # known fps: stream the (pruned) corpus past the broadcast
+        # batch keys — the delta-sized result then BROADCASTS into the
+        # anti join below (the corpus itself is never the build side)
+        hits = corpus_fp.join(bk.select("fp"), "fp", "left_semi")
+        new_fps = (
+            bk.select("fp", "keeper_id")
+            .join(hits.select("fp"), "fp", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        # ---- near-dup side: sign the batch once, band the signatures
+        sigs = dd.minhash_signatures(
+            docs,
+            "doc_id",
+            "text",
+            n_hashes=self.dedup_hashes,
+            k=self.dedup_shingle_k,
+        )
+        nb = dd.band_keys(
+            sigs, self.dedup_hashes, self.dedup_bands, "doc_id"
+        ).localCheckpoint(eager=False)
+        # action 2 (tagged union): materializes new_fps AND nb, and
+        # returns both tables' dirty buckets + the new-fp count
+        _urows = (
+            new_fps.select(
+                self._bucket_of_str("fp").alias("b"), F.lit(0).alias("k")
+            )
+            .unionByName(
+                nb.select(
+                    self._bucket_of_str("key").alias("b"),
+                    F.lit(1).alias("k"),
+                )
+            )
+            .groupBy("k", "b")
+            .count()
+            .collect()
+        )
+        n_new_fp = sum(int(r["count"]) for r in _urows if int(r["k"]) == 0)
+        band_buckets = [int(r["b"]) for r in _urows if int(r["k"]) == 1]
+        # every non-keeper doc of a new fp, and every doc of a known
+        # fp, is an exact dup — no extra action needed
+        n_dup = n_docs - n_new_fp
+        corpus_b = self._pruned_table("doc_bands", band_buckets)
+        if corpus_b is None:
+            corpus_b = self.doc_bands
+        cross = nb.join(
+            corpus_b.select(
+                F.col("doc_id").alias("_cid"), "band", "key"
+            ),
+            ["band", "key"],
+        ).filter(F.col("_cid") != F.col("doc_id"))
+        within = nb.select("band", "key", F.col("doc_id").alias("_a")).join(
+            nb.select("band", "key", F.col("doc_id").alias("_b2")),
+            ["band", "key"],
+        ).filter(F.col("_a") < F.col("_b2"))
+        # action 3: the consult step's near-dup candidate count —
+        # batch-vs-corpus plus within-batch, deduped across bands
+        n_cand = (
+            cross.select(
+                F.least("doc_id", "_cid").alias("a"),
+                F.greatest("doc_id", "_cid").alias("b"),
+            )
+            .unionByName(
+                within.select(
+                    F.col("_a").alias("a"), F.col("_b2").alias("b")
+                )
+            )
+            .distinct()
+            .count()
+        )
+        # append: a re-signed doc (re-crawl) must not duplicate rows it
+        # already stored — anti against the same pruned corpus slice
+        nb_new = nb.join(corpus_b, ["doc_id", "band", "key"], "left_anti")
+        self._mark_dirty(
+            "_doc_fps_dirty",
+            (int(r["b"]) for r in _urows if int(r["k"]) == 0),
+        )
+        self._mark_dirty("_doc_bands_dirty", band_buckets)
+        self._pend("doc_fps", None, new_fps)
+        self._pend("doc_bands", None, nb_new)
+        self.doc_fps = self.doc_fps.unionByName(new_fps)
+        self.doc_bands = self.doc_bands.unionByName(nb_new)
+        return {
+            "docs": n_docs,
+            "dup_exact": n_dup,
+            "neardup_cands": n_cand,
+        }
 
     def _apply_visits_delta(
         self,

@@ -594,24 +594,26 @@ def incremental_exact_dedup(
     doc in its own batch sharing the fingerprint.
 
     Returns (id, keeper_id, is_dup) for the batch rows. 100 TB shape:
-    the batch's narrow (id, fp) pass is delta-sized, so AQE broadcasts
-    it against the (fp-bucketed, partition-prunable) corpus table —
-    the corpus is probed, never shuffled; within-batch keepers come
-    from one map-side-combining agg (no window; see exact_dedup)."""
+    the corpus is consulted in TWO broadcast-friendly steps — a
+    left_semi that streams the (fp-bucketed, partition-prunable)
+    corpus past the broadcast batch keys, yielding the delta-sized
+    `hits` slice, then a left-outer of the batch against broadcast
+    `hits`. A direct batch-left-outer-corpus join could never
+    broadcast the batch (the preserved side can't be the build side),
+    so the corpus would shuffle; this decomposition keeps the corpus
+    streamed/probed, never shuffled. Within-batch keepers come from
+    one map-side-combining agg (no window; see exact_dedup)."""
     fps = new_docs.select(
         F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
     )
     batch_keep = fps.groupBy("fp").agg(
         F.min(id_col).alias("_batch_keeper")
     )
+    hits = corpus_fps.select(
+        "fp", F.col("keeper_id").alias("_corpus_keeper")
+    ).join(batch_keep.select("fp"), "fp", "left_semi")
     return (
-        fps.join(
-            corpus_fps.select(
-                "fp", F.col("keeper_id").alias("_corpus_keeper")
-            ),
-            "fp",
-            "left",
-        )
+        fps.join(hits, "fp", "left")
         .join(batch_keep, "fp")
         .select(
             F.col(id_col),
