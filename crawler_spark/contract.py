@@ -1149,7 +1149,7 @@ select c.doc_id, c.component_id, k.keeper_id,
 from comp c join keep k using (component_id)
 """,
     # same stats fragments as text_stats; check order mirrors
-    # textstats.corpus_filter (short -> low_quality -> lang)
+    # textstats.corpus_filter (short -> repetition -> low_quality -> lang)
     "corpus_filter": f"""
 with base as (
   select doc_id, text, ' ' || lower(text) || ' ' as padded,
@@ -1175,12 +1175,35 @@ with base as (
     + 0.2 * least(length(text) / 500.0, 1.0), 6) as quality,
     {_lang_id_sql()} as lang_guess
   from base
-), r as (
+), cf_lines as (
+  select doc_id, l from documents, unnest(string_split(text, chr(10))) as t(l)
+  where length(l) > 0
+), cf_per_line as (
+  select doc_id, l, count(*) c, length(l) len from cf_lines group by doc_id, l
+), cf_linestats as (
   select doc_id,
+         1.0 - count(*) * 1.0 / sum(c) as dlf,
+         sum((c - 1) * len) * 1.0 / sum(c * len) as dlcf
+  from cf_per_line group by doc_id
+), cf_toks as (
+  select doc_id, t from documents,
+         unnest(string_split_regex(lower(text), '[^a-z0-9]+')) as s(t)
+  where length(t) > 0
+), cf_per_tok as (
+  select doc_id, t, count(*) c from cf_toks group by doc_id, t
+), cf_tokstats as (
+  select doc_id, max(c) * 1.0 / sum(c) as ttf
+  from cf_per_tok group by doc_id
+), r as (
+  select s.doc_id,
     case when n_tokens < 5 then 'short'
+         when coalesce(dlf, 0.0) > 0.3 or coalesce(dlcf, 0.0) > 0.2
+              or coalesce(ttf, 0.0) > 0.2 then 'repetition'
          when quality < 0.5 then 'low_quality'
          when lang_guess not in ('en') then 'lang' end as reason
   from s
+  left join cf_linestats using (doc_id)
+  left join cf_tokstats using (doc_id)
 )
 select doc_id, reason is null as keep, reason from r
 """,

@@ -119,6 +119,84 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(text), "[^a-z0-9]", ""))
 
 
+def _nonempty_lines(text: Column) -> Column:
+    return F.filter(F.split(text, "\n"), lambda l: F.length(l) > 0)
+
+
+def _tokens_arr(text: Column) -> Column:
+    return F.filter(
+        F.split(F.lower(text), "[^a-z0-9]+"), lambda x: F.length(x) > 0
+    )
+
+
+def dup_line_frac_expr(text: Column) -> Column:
+    """Fraction of non-empty lines repeating an earlier identical
+    line, as a pure per-doc column expression (zero shuffle):
+    1 - |distinct lines| / |lines|."""
+    lines = _nonempty_lines(text)
+    n = F.size(lines)
+    return F.coalesce(
+        F.when(n <= 0, F.lit(0.0)).otherwise(
+            F.lit(1.0) - F.size(F.array_distinct(lines)) / n
+        ),
+        F.lit(0.0),
+    ).cast("double")
+
+
+def dup_line_char_frac_expr(text: Column) -> Column:
+    """Fraction of line characters inside repeated line occurrences:
+    (total chars - chars of distinct lines) / total chars — each
+    distinct value contributes its length once, so this equals
+    sum((c-1)*len) / sum(c*len) of the per-line-count form."""
+    lines = _nonempty_lines(text)
+    zero = F.lit(0).cast("long")
+    tot = F.aggregate(lines, zero, lambda a, l: a + F.length(l))
+    dis = F.aggregate(
+        F.array_distinct(lines), zero, lambda a, l: a + F.length(l)
+    )
+    return F.coalesce(
+        F.when(tot <= 0, F.lit(0.0)).otherwise((tot - dis) / tot),
+        F.lit(0.0),
+    ).cast("double")
+
+
+def top_token_frac_expr(text: Column) -> Column:
+    """Fraction of alphanumeric tokens taken by the single most
+    frequent token: run-length over the SORTED token array inside one
+    higher-order aggregate — O(n log n) per doc, no explode, no
+    shuffle, whole-stage codegen."""
+    toks = F.array_sort(_tokens_arr(text))
+    zero = F.lit(0).cast("long")
+    state0 = F.struct(
+        F.lit("").alias("prev"),
+        zero.alias("run"),
+        zero.alias("best"),
+        zero.alias("n"),
+    )
+
+    def _step(acc, t):
+        run = (
+            F.when(t == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+        )
+        return F.struct(
+            t.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+            (acc["n"] + 1).alias("n"),
+        )
+
+    res = F.aggregate(
+        toks,
+        state0,
+        _step,
+        lambda acc: F.when(acc["n"] <= 0, F.lit(0.0)).otherwise(
+            acc["best"] / acc["n"]
+        ),
+    )
+    return F.coalesce(res, F.lit(0.0)).cast("double")
+
+
 def top_tokens(
     docs: "DataFrame",
     k: int = 100,
@@ -152,18 +230,32 @@ def corpus_filter(
     min_tokens: int = 5,
     min_quality: float = 0.5,
     langs: tuple = ("en",),
+    max_dup_line_frac: float = 0.3,
+    max_dup_line_char_frac: float = 0.2,
+    max_top_token_frac: float = 0.2,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> "DataFrame":
     """(doc_id, keep, reason): the training-data admission gate —
-    drop too-short documents, low-quality documents, and languages
-    outside the target set, recording the FIRST failing check
-    ('short' | 'low_quality' | 'lang', null when kept) so drop-rate
-    dashboards can attribute losses. Pure column expressions over
-    the ONE text pass (codegen; the three scores share the scan)."""
+    drop too-short documents, repetitive/boilerplate documents
+    (Gopher repetition thresholds, Rae et al. 2021 Appendix A1.1 —
+    the reason these filters exist in every web-corpus pipeline),
+    low-quality documents, and languages outside the target set,
+    recording the FIRST failing check ('short' | 'repetition' |
+    'low_quality' | 'lang', null when kept) so drop-rate dashboards
+    can attribute losses. Pure column expressions over the ONE text
+    pass (codegen; all the scores — including the repetition signals,
+    expressed per-doc with higher-order array functions — share the
+    scan; no shuffle anywhere)."""
     t = F.col(text_col)
+    repetitive = (
+        (dup_line_frac_expr(t) > max_dup_line_frac)
+        | (dup_line_char_frac_expr(t) > max_dup_line_char_frac)
+        | (top_token_frac_expr(t) > max_top_token_frac)
+    )
     reason = (
         F.when(token_count(t) < min_tokens, F.lit("short"))
+        .when(repetitive, F.lit("repetition"))
         .when(quality_score(t) < min_quality, F.lit("low_quality"))
         .when(~lang_id(t).isin(*langs), F.lit("lang"))
     )
@@ -190,56 +282,22 @@ def repetition_stats(
       - top_token_frac     fraction of alphanumeric tokens taken by
                            the single most frequent token
 
-    Scale shape: explode -> ONE partially-aggregated groupBy per
-    signal family (lines, tokens) -> per-doc roll-up join. No window,
-    no per-row Python; a boilerplate-heavy doc (the thing these
-    filters catch) contributes its repeated line ONCE per distinct
-    value to the shuffle thanks to map-side combine. Rounded to 6 dp
+    Scale shape: pure per-doc column expressions (higher-order array
+    functions over the line/token splits) — ZERO shuffle, no window,
+    no per-row Python, no explode; the whole thing is one codegen'd
+    map over the text scan. An earlier form used explode +
+    map-side-combined groupBys; the expression form computes the
+    identical values without moving a single row. Rounded to 6 dp
     (oracle parity)."""
     from pyspark.sql import DataFrame  # noqa: F401 (type only)
 
-    base = docs.select(F.col(id_col), F.col(text_col).alias("_t"))
-    lines = base.select(
-        id_col, F.explode(F.split("_t", "\n")).alias("line")
-    ).filter(F.length("line") > 0)
-    line_stats = (
-        lines.groupBy(id_col, "line")
-        .agg(F.count("*").alias("c"), F.length(F.first("line")).alias("len"))
-        .groupBy(id_col)
-        .agg(
-            F.sum("c").alias("n_lines"),
-            (1.0 - F.count("*") / F.sum("c")).alias("dup_line_frac"),
-            (
-                F.sum((F.col("c") - 1) * F.col("len"))
-                / F.sum(F.col("c") * F.col("len"))
-            ).alias("dup_line_char_frac"),
-        )
-    )
-    toks = base.select(
-        id_col,
-        F.explode(F.split(F.lower("_t"), "[^a-z0-9]+")).alias("tok"),
-    ).filter(F.length("tok") > 0)
-    tok_stats = (
-        toks.groupBy(id_col, "tok")
-        .agg(F.count("*").alias("c"))
-        .groupBy(id_col)
-        .agg((F.max("c") / F.sum("c")).alias("top_token_frac"))
-    )
-    return (
-        docs.select(id_col)
-        .join(line_stats, id_col, "left")
-        .join(tok_stats, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
-            F.round(F.coalesce("dup_line_frac", F.lit(0.0)), 6).alias(
-                "dup_line_frac"
-            ),
-            F.round(F.coalesce("dup_line_char_frac", F.lit(0.0)), 6).alias(
-                "dup_line_char_frac"
-            ),
-            F.round(F.coalesce("top_token_frac", F.lit(0.0)), 6).alias(
-                "top_token_frac"
-            ),
-        )
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.coalesce(
+            F.size(_nonempty_lines(t)).cast("long"), F.lit(0).cast("long")
+        ).alias("n_lines"),
+        F.round(dup_line_frac_expr(t), 6).alias("dup_line_frac"),
+        F.round(dup_line_char_frac_expr(t), 6).alias("dup_line_char_frac"),
+        F.round(top_token_frac_expr(t), 6).alias("top_token_frac"),
     )

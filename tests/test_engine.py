@@ -358,7 +358,7 @@ def test_crawl_feeds_corpus_pipeline(spark, tmp_path):
     # but every verdict must be internally consistent
     for v in verdicts:
         assert v.keep == (v.reason is None)
-        assert v.reason in (None, "short", "low_quality", "lang")
+        assert v.reason in (None, "short", "repetition", "low_quality", "lang")
     # dedup clustering over the crawled corpus: one row per doc,
     # keeper ids are members of their own component
     clusters = dedup_ops.dedup_clusters(corpus, threshold=0.9)

@@ -437,6 +437,11 @@ def test_corpus_filter_reasons(spark):
             (2, "too short"),                                          # short
             (3, ",,,, !!!! ;;;; :::: ???? .... (((( )))) ---- ...."),  # low quality
             (4, "der schnelle braune fuchs und die katze sind nicht hier oder da"),  # lang
+            # planted boilerplate: the same line six times -> Gopher
+            # dup_line_frac 5/6 >> 0.3 (Rae et al. 2021 A1.1)
+            (5, "\n".join(["click here for the best deals today"] * 6)),
+            # one token dominating: top_token_frac 6/11 >> 0.2
+            (6, "buy buy buy buy buy buy the and is of now"),
         ],
         "doc_id long, text string",
     )
@@ -448,6 +453,8 @@ def test_corpus_filter_reasons(spark):
     assert got[2] == (False, "short")
     assert got[3] == (False, "low_quality")
     assert got[4] == (False, "lang")
+    assert got[5] == (False, "repetition")
+    assert got[6] == (False, "repetition")
 
 
 def test_connected_components_truncation_raises(spark):
