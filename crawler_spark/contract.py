@@ -569,8 +569,15 @@ def q_ann_cosine_topk_ivf(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
+    """Cosine near-dup pairs over a vec_id slice. The synthetic
+    embeddings are near-orthogonal (max pairwise cosine ~0.45 at
+    these SFs), so the threshold sits at 0.35 — low for a real
+    near-dup semantic but guaranteeing the driver row exercises the
+    pair math on >0 rows (a 0.8-threshold run returned 0 pairs on
+    both sides, which proved nothing); the semantic gate is the
+    planted-pair pytest in test_ops."""
     emb = _t(spark, sf_dir, "embeddings").filter("vec_id < 200")
-    return dedup.embedding_near_dup_pairs(emb, threshold=0.8)
+    return dedup.embedding_near_dup_pairs(emb, threshold=0.35)
 
 
 # ---------------- rows-only (non-SQL-expressible) ----------------
@@ -1289,6 +1296,6 @@ select a.vec_id as id_a, b.vec_id as id_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) as cos
 from e a cross join e b
 where a.vec_id < b.vec_id
-  and round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.8
+  and round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
 """,
 }
