@@ -359,9 +359,13 @@ def run_polite_ingest_stream(
         engine.spark, pages_dir, watermark,
         max_files_per_trigger=max_files_per_trigger,
     )
+    # priority = the page's full-precision epoch timestamp: it orders
+    # the gate (newest first) AND survives the gate's deferred state,
+    # so each admitted row still names the exact (url, warc_ts) page
+    # version whose arrival earned the slot
     cand = src.select(
         "url",
-        F.unix_timestamp("warc_ts").cast("double").alias("priority"),
+        F.col("warc_ts").cast("double").alias("priority"),
         "warc_ts",
     ).withColumn("host", url_host(F.col("url")))
     admitted = polite_gate_stream(
@@ -369,10 +373,22 @@ def run_polite_ingest_stream(
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        # re-read page ROWS pinned to the admitted (url, warc_ts)
+        # versions — NOT url alone: pages_dir may already hold a
+        # NEWER version of a re-crawled url whose own micro-batch has
+        # not yet passed the politeness gate, and the latest-per-url
+        # window would otherwise process that content ahead of its
+        # admitted slot (and then again at its real slot)
         pages = (
             engine.spark.read.schema(schemas.PAGES)
             .parquet(pages_dir)
-            .join(batch_df.select("url"), "url", "left_semi")
+            .withColumn("_sec", F.col("warc_ts").cast("double"))
+            .join(
+                batch_df.select("url", F.col("priority").alias("_sec")),
+                ["url", "_sec"],
+                "left_semi",
+            )
+            .drop("_sec")
         )
         ts = now or _dt.datetime.now(_dt.timezone.utc)
         engine.epoch += 1

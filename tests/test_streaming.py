@@ -570,3 +570,72 @@ def test_polite_ingest_matches_batch_scheduler(spark, tmp_path, monkeypatch):
 
     got = [s for s in seen_batches if s]
     assert got == want
+
+
+def test_polite_ingest_pins_batch_to_admitted_version(spark, tmp_path):
+    """A re-crawled url whose NEWER version has already landed in
+    pages_dir must not be processed ahead of its politeness slot:
+    each micro-batch re-reads page rows pinned to its admitted
+    (url, warc_ts) versions, so the version-1 batch commits
+    version-1's links even though version 2 is already on disk
+    (url-only re-join would window-pick the newer content early and
+    then reprocess it at its real slot)."""
+    import time as _time
+
+    import pandas as pd
+
+    a = "https://a.test/"
+    x1, x2 = "https://x1.test/", "https://x2.test/"
+    d = str(tmp_path / "pages_v")
+    t0 = NOW.replace(tzinfo=None)
+
+    def row(ts, link, text):
+        return {
+            "url": a,
+            "warc_ts": ts,
+            "html": datagen.render_html(a, text, [link]),
+            "text": text,
+            "lang": "en",
+        }
+
+    spark.createDataFrame(
+        pd.DataFrame([row(t0, x1, "version one")]), schema=schemas.PAGES
+    ).coalesce(1).write.mode("append").parquet(d)
+    _time.sleep(1.2)  # distinct mtimes -> deterministic batch order
+    spark.createDataFrame(
+        pd.DataFrame(
+            [row(t0 + dt.timedelta(seconds=30), x2, "version two")]
+        ),
+        schema=schemas.PAGES,
+    ).coalesce(1).write.mode("append").parquet(d)
+
+    # x1/x2 bootstrapped as KNOWN nodes: target resolution then works
+    # for the author regardless of its active/inactive status (the
+    # arbiter may demote `a` between the two slots; an inactive
+    # author's delta applies over known targets only, process.go:
+    # 186-206), keeping this test purely about version pinning
+    eng = _mk(spark, tmp_path, "pin")
+    eng.bootstrap([a, x1, x2], NOW)
+    q = streaming.run_polite_ingest_stream(
+        eng,
+        d,
+        str(tmp_path / "ckpt_pin"),
+        crawl_delay_s=10.0,
+        burst_cap=1.0,
+        now=NOW + dt.timedelta(minutes=5),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    urls = {r.node_id: r.url for r in eng.nodes.collect()}
+
+    def edge_targets(epoch):
+        snaps = [s for s in eng.cat.snapshots("edges") if s.epoch == epoch]
+        assert snaps, f"no edges snapshot at epoch {epoch}"
+        df = spark.read.parquet(snaps[-1].path)
+        return {urls[r.dst] for r in df.select("dst").collect()}
+
+    # epoch 1 = version 1's slot: its link set, not version 2's
+    assert edge_targets(1) == {x1}
+    # epoch 2 = version 2's slot: the follow-list delta replaced it
+    assert edge_targets(2) == {x2}
