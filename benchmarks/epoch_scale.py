@@ -30,7 +30,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_engine(spark, path: str, n_nodes: int, now):
+def build_engine(spark, path: str, n_nodes: int, now, dedup_state=True):
     import pyspark.sql.functions as F
 
     from crawler_spark import frontier as frontier_mod
@@ -38,7 +38,8 @@ def build_engine(spark, path: str, n_nodes: int, now):
     from crawler_spark.engine import CrawlEngine
 
     eng = CrawlEngine(
-        spark, path, walks_per_node=4, n_buckets=256, batch_size=10, seed=1
+        spark, path, walks_per_node=4, n_buckets=256, batch_size=10, seed=1,
+        dedup_state=dedup_state,
     )
     eng.n_table_buckets = 256
     eng.nodes = spark.range(n_nodes).select(
@@ -84,6 +85,14 @@ def build_engine(spark, path: str, n_nodes: int, now):
     eng.next_walk_id = walks_gen.next_walk_id(eng.walks)
     eng.total_visits = walks_gen.total_visits(eng.walks)
     eng.next_node_id = n_nodes
+    if dedup_state:
+        # what bootstrap() does: commit the (empty) dedup-state tables
+        # so the timed epoch measures the steady-state PARTIAL commit
+        # path, not a first-time full write
+        from crawler_spark import engine as _em
+
+        eng.doc_fps = spark.createDataFrame([], _em._DOC_FPS_SCHEMA)
+        eng.doc_bands = spark.createDataFrame([], _em._DOC_BANDS_SCHEMA)
     eng._commit(now, {"event": "setup"})
     return eng
 
@@ -122,15 +131,20 @@ def main() -> None:
     results = []
     orig_pruned = engine_mod.CrawlEngine._pruned_table
     for n_nodes in [int(s) for s in args.sizes.split(",")]:
-        for mode in ("pruned", "full"):
+        # pruned_nodedup isolates the round-5 dedup-state maintenance
+        # cost (fingerprint+sign+consult+append, 2 extra table commits)
+        for mode in ("pruned", "full", "pruned_nodedup"):
             work = tempfile.mkdtemp(prefix=f"epoch{n_nodes}{mode}")
             try:
                 engine_mod.CrawlEngine._pruned_table = (
                     orig_pruned
-                    if mode == "pruned"
+                    if mode in ("pruned", "pruned_nodedup")
                     else (lambda self, name, buckets: None)
                 )
-                eng = build_engine(spark, work + "/cat", n_nodes, now)
+                eng = build_engine(
+                    spark, work + "/cat", n_nodes, now,
+                    dedup_state=(mode != "pruned_nodedup"),
+                )
                 pages = batch(n_nodes)
                 pages.count()  # materialize the input outside the timing
                 # job count = all-job id delta across the timed region
@@ -164,7 +178,7 @@ def main() -> None:
 
     by = {
         m: {r["n_nodes"]: r["seconds"] for r in results if r["mode"] == m}
-        for m in ("pruned", "full")
+        for m in ("pruned", "full", "pruned_nodedup")
     }
     sizes = sorted(by["pruned"])
     out = {
@@ -177,6 +191,10 @@ def main() -> None:
         "time_growth_full": round(
             by["full"][sizes[-1]] / by["full"][sizes[0]], 2
         ),
+        "dedup_state_cost_s": {
+            str(n): round(by["pruned"][n] - by["pruned_nodedup"][n], 2)
+            for n in sizes
+        },
     }
     line = json.dumps(out)
     print(line)

@@ -75,16 +75,37 @@ def run_one(cpus: int) -> None:
     pages = spark.read.parquet(CORPUS)
 
     # setup (untimed): the seen-set filters — built incrementally per
-    # epoch in production, amortized over every probe in that epoch
+    # epoch in production and COMMITTED as a bucket-partitioned
+    # snapshot; the probe then reads bucket partitions executor-side
+    # (the engine's start-of-epoch fpath mode, engine.py). The
+    # previous driver-broadcast probe put a serial blob
+    # collect+broadcast inside the timed region — a fixed driver cost
+    # that landed 4x harder on the high-parallelism number.
     from crawler_spark import seen
 
     filters = seen.build_seen_filters(pages.select("url"), n_buckets=64)
-    filters = filters.persist()
-    filters.count()
+    fdir = f"/tmp/spark_graft_scaling_filters_{cpus}.parquet"
+    filters.write.mode("overwrite").partitionBy("bucket").parquet(fdir)
+
+    # untimed warm pass: the IDENTICAL plan over a tiny slice (tiny on
+    # both join sides) — whole-stage codegen compile and AQE stage
+    # scheduling are once-per-plan-family costs a long-lived cluster
+    # amortizes to zero, same rationale as the worker warm above
+    _warm_pages = pages.limit(20_000)
+    _relw: list = []
+    seen.admit_new_urls(
+        _warm_pages.select(
+            "url", F.explode(extract_links("html", "url")).alias("link")
+        ).select(F.col("link").alias("url")).distinct(),
+        filters, _warm_pages.select("url"), 64,
+        filters_path=fdir, eager=False, release=_relw,
+    ).count()
+    for _df in _relw:
+        _df.unpersist()
 
     # ---- frontier phase (timed), ONE action: parquet scan -> link
-    # extraction -> candidate distinct -> bloom probe -> exact verify
-    # -> admitted count.
+    # extraction -> candidate distinct -> bloom probe (executor-side
+    # bucket reads) -> exact verify -> admitted count.
     t0 = time.perf_counter()
     links = pages.select(
         "url", F.explode(extract_links("html", "url")).alias("link")
@@ -98,7 +119,7 @@ def run_one(cpus: int) -> None:
     _rel: list = []
     n_new = seen.admit_new_urls(
         candidates, filters, pages.select("url"), 64,
-        eager=False, release=_rel,
+        filters_path=fdir, eager=False, release=_rel,
     ).count()
     for _df in _rel:
         _df.unpersist()

@@ -23,7 +23,14 @@ This is the Spark re-expression of the reference's four goroutines
          from the last committed epoch (north_rule).
 
 State tables (all catalog-committed): nodes, edges, walks, visits,
-frontier, filters. The exact seen set is `nodes` itself (a url is
+frontier, filters, doc_fps, doc_bands. The last two are the corpus
+content-dedup state (round 5): per admitted batch the engine
+fingerprints + MinHash-signs the page texts ONCE, consults the stored
+tables for exact/near duplicates (partition-pruned, batch side
+broadcast — the corpus text is never re-read or re-shingled), and
+appends the new fingerprints/band keys at commit, mirroring how the
+reference consults-and-updates admission state per event
+(pkg/crawler/process.go:112-117). The exact seen set is `nodes` itself (a url is
 "seen" once it has a node id, exactly like the reference's keyIndex
 membership); the bucketed bloom `filters` table is maintained
 INCREMENTALLY — only buckets that gained urls are rewritten per batch
@@ -64,7 +71,16 @@ from . import graph, schemas, seen, walks_gen, walks_update
 from .catalog import Catalog
 from .functions.extract import extract_links, is_valid_url
 
-TABLES = ("nodes", "edges", "walks", "visits", "frontier", "metrics")
+TABLES = (
+    "nodes",
+    "edges",
+    "walks",
+    "visits",
+    "frontier",
+    "filters",
+    "doc_fps",
+    "doc_bands",
+)
 
 # anti-join keys for delta-composed partial commits, per table
 _PENDING_KEYS = {
