@@ -87,42 +87,49 @@ def run_one(cpus: int) -> None:
     fdir = f"/tmp/spark_graft_scaling_filters_{cpus}.parquet"
     filters.write.mode("overwrite").partitionBy("bucket").parquet(fdir)
 
-    # untimed warm pass: the IDENTICAL plan over a tiny slice (tiny on
-    # both join sides) — whole-stage codegen compile and AQE stage
-    # scheduling are once-per-plan-family costs a long-lived cluster
-    # amortizes to zero, same rationale as the worker warm above
-    _warm_pages = pages.limit(20_000)
-    _relw: list = []
-    seen.admit_new_urls(
-        _warm_pages.select(
+    # ---- frontier phase: parquet scan -> link extraction ->
+    # candidate distinct -> bloom probe (executor-side bucket reads)
+    # -> exact verify -> admitted count, as ONE action.
+    #
+    # Run the IDENTICAL full pipeline twice; the FIRST pass is
+    # untimed warm-up, the SECOND is the measurement. The first-ever
+    # pass in a fresh JVM pays (a) whole-stage-codegen compile + AQE
+    # stage scheduling (once-per-plan-family), (b) per-worker lazy
+    # imports/regex compile in the extraction UDF, and (c) a COLD
+    # read of the 1.2 GB html column off this box's single shared
+    # disk. None of those scale with the thread count, and (c) is a
+    # sandbox artifact: on a real cluster every executor streams its
+    # own split from distributed storage, so aggregate scan
+    # bandwidth GROWS with cluster size — only on a one-box
+    # emulation is it a fixed shared resource. Measured here
+    # (local[8], same JVM): first pass 72s, second 24s, third 21s —
+    # the cold pass is 3x the steady one and its variance (page
+    # cache state left by OTHER interleaved subprocesses) produced
+    # the 31-60s frontier swings in earlier windows.
+    def _frontier_once() -> int:
+        # eager=False + release: the production engine shape — the
+        # probe persists across the two union branches (one probe
+        # run), the admitted set is consumed in exactly one action
+        # with no intermediate localCheckpoint write, and the probe
+        # cache is released right after
+        links = pages.select(
             "url", F.explode(extract_links("html", "url")).alias("link")
-        ).select(F.col("link").alias("url")).distinct(),
-        filters, _warm_pages.select("url"), 64,
-        filters_path=fdir, eager=False, release=_relw,
-    ).count()
-    for _df in _relw:
-        _df.unpersist()
+        )
+        candidates = links.select(F.col("link").alias("url")).distinct()
+        _rel: list = []
+        n = seen.admit_new_urls(
+            candidates, filters, pages.select("url"), 64,
+            filters_path=fdir, eager=False, release=_rel,
+        ).count()
+        for _df in _rel:
+            _df.unpersist()
+        return n
 
-    # ---- frontier phase (timed), ONE action: parquet scan -> link
-    # extraction -> candidate distinct -> bloom probe (executor-side
-    # bucket reads) -> exact verify -> admitted count.
     t0 = time.perf_counter()
-    links = pages.select(
-        "url", F.explode(extract_links("html", "url")).alias("link")
-    )
-    candidates = links.select(F.col("link").alias("url")).distinct()
-    # eager=False + release: the production engine shape — the probe
-    # persists across the two union branches (one probe run), the
-    # admitted set is consumed in exactly one action with no
-    # intermediate localCheckpoint write, and the probe cache is
-    # released right after
-    _rel: list = []
-    n_new = seen.admit_new_urls(
-        candidates, filters, pages.select("url"), 64,
-        filters_path=fdir, eager=False, release=_rel,
-    ).count()
-    for _df in _rel:
-        _df.unpersist()
+    _frontier_once()  # untimed: plan compile + worker warm + page cache
+    t_frontier_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_new = _frontier_once()
     t_frontier = time.perf_counter() - t0
 
     # walk graph (untimed maintenance): a separate small synthetic
@@ -149,12 +156,23 @@ def run_one(cpus: int) -> None:
     t_csr0 = time.perf_counter()
     csr = walks_gen.collect_csr(edges)
     t_csr = time.perf_counter() - t_csr0
+
+    # same cold/steady split as the frontier: the first generation
+    # pass pays per-worker kernel imports + codegen compile; a
+    # production epoch runs MANY generation/repair actions against
+    # warm workers, so the steady pass is the representative one
+    def _walks_once() -> int:
+        w = walks_gen.generate_walks(
+            spark, edges, starts, walks_per_node=WPN, seed=42,
+            strategy="broadcast", partitions=parts, csr=csr,
+        )
+        return w.count()
+
     t0 = time.perf_counter()
-    walks = walks_gen.generate_walks(
-        spark, edges, starts, walks_per_node=WPN, seed=42,
-        strategy="broadcast", partitions=parts, csr=csr,
-    )
-    n_walks = walks.count()
+    _walks_once()  # untimed warm
+    t_walks_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_walks = _walks_once()
     t_walks = time.perf_counter() - t0
 
     print(
@@ -165,8 +183,10 @@ def run_one(cpus: int) -> None:
                 "n_edges": n_edges,
                 "n_walks": n_walks,
                 "t_frontier_s": round(t_frontier, 3),
+                "t_frontier_cold_s": round(t_frontier_cold, 3),
                 "t_csr_build_s": round(t_csr, 3),
                 "t_walks_s": round(t_walks, 3),
+                "t_walks_cold_s": round(t_walks_cold, 3),
                 "urls_per_sec": round(N_PAGES / t_frontier, 1),
                 "walks_per_sec": round(n_walks / t_walks, 1),
             }
