@@ -525,6 +525,27 @@ def q_dedup_incremental_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_winnow(spark, sf_dir):
+    """Winnowed rolling-hash fingerprints (Schleimer et al. SIGMOD'03)
+    per document: every 16-char gram of the normalized text hashed,
+    window-of-16 minima kept — the local/passage-level fingerprint
+    (shared substrings >= 31 normalized chars are guaranteed to share
+    a fingerprint)."""
+    return dedup.winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=16, w=16
+    )
+
+
+def q_dedup_winnow_pairs(spark, sf_dir):
+    """Moss-style local-overlap candidates: documents sharing >= 2
+    winnowed fingerprints, after dropping stop-fingerprints occurring
+    in > 50 docs (boilerplate skew guard, broadcast anti join)."""
+    return dedup.winnow_candidate_pairs(
+        _t(spark, sf_dir, "documents"),
+        k=16, w=16, min_shared=2, max_df=50,
+    )
+
+
 def q_mm_decode_features(spark, sf_dir):
     """REAL multimodal decode end-to-end (rows-only: BMP/WAV parsing
     is not DuckDB-expressible; the decode itself is gated by struct-
@@ -653,6 +674,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_incremental_exact": q_dedup_incremental_exact,
     "dedup_incremental_lsh": q_dedup_incremental_lsh,
+    "dedup_winnow": q_dedup_winnow,
+    "dedup_winnow_pairs": q_dedup_winnow_pairs,
     "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
     "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
     "text_stats": q_text_stats,
@@ -791,6 +814,29 @@ with sh as (
 select distinct a.doc_id as doc_a, b.doc_id as doc_b
 from bands a join bands b on a.band = b.band and a.key = b.key
 where a.doc_id < b.doc_id
+"""
+
+
+# Winnowed rolling-hash fingerprints (k=16-char grams, window w=16) —
+# mirrors ops/dedup.winnow_fingerprints exactly: same normalization,
+# md5 gram hash, per-window string-min, distinct (doc_id, fp).
+_WINNOW_FPS_SQL = """
+with nrm as (
+  select doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') as norm
+  from documents
+), hs as (
+  select doc_id,
+         list_transform(generate_series(1, length(norm) - 16 + 1),
+                        i -> md5(substr(norm, i, 16))) as hashes
+  from nrm where length(norm) >= 16
+), wn as (
+  select doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(hashes) - 16 + 1, 1)),
+           j -> list_min(list_slice(hashes, j, j + 16 - 1)))) as fps
+  from hs
+)
+select doc_id, unnest(fps) as fp from wn
 """
 
 
@@ -1020,6 +1066,17 @@ select b.doc_id, coalesce(c.ckeep, k.bkeep) as keeper_id,
 from batch b left join corpus c using (f) join bk k using (f)
 """,
     "dedup_incremental_lsh": _minhash_incremental_sql(16, 4),
+    "dedup_winnow": _WINNOW_FPS_SQL,
+    "dedup_winnow_pairs": f"""
+with fps as ({_WINNOW_FPS_SQL}),
+ stop as (select fp from fps group by fp having count(*) > 50),
+ kept as (select f.doc_id, f.fp from fps f anti join stop using (fp))
+select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as shared
+from kept a join kept b using (fp)
+where a.doc_id < b.doc_id
+group by 1, 2
+having count(*) >= 2
+""",
     "dedup_ngram_jaccard": """
 with sh as (select doc_id, lower(text) lt from documents),
  shingles as (

@@ -671,3 +671,95 @@ def incremental_lsh_pairs(
         .select("new_id", "corpus_id")
         .distinct()
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 16,
+    w: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowed rolling-hash document fingerprints (Schleimer,
+    Wilkerson & Aiken, "Winnowing: Local Algorithms for Document
+    Fingerprinting", SIGMOD 2003): hash every k-char gram of the
+    case/punctuation-normalized text, slide a window of w
+    consecutive gram hashes, and keep each window's minimum. The
+    winnowing guarantee: any shared substring of length >= w + k - 1
+    between two documents yields at least one SHARED fingerprint, at
+    an expected density of ~2/(w+1) fingerprints per position — the
+    local (position-robust) complement to the whole-document
+    `fingerprint()` the admission path consults (reference analog:
+    content-hash consult at admission, pkg/crawler/process.go:112).
+
+    Scale shape: everything up to the final distinct is a per-doc
+    column expression (higher-order array functions over one
+    projection of the normalized text — each gram is hashed exactly
+    once, no explode of the gram stream, no shuffle, no Python);
+    the (doc_id, fp) distinct is the only exchange. md5 is used as
+    the gram hash so the op has an exact DuckDB oracle.
+
+    Returns distinct (doc_id, fp) rows; documents whose normalized
+    text is shorter than k produce no rows.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    grams = docs.select(F.col(id_col), norm.alias("_norm")).where(
+        F.length("_norm") >= k
+    ).select(
+        id_col,
+        F.expr(
+            f"transform(sequence(1, length(_norm) - {k} + 1), "
+            f"i -> md5(substr(_norm, i, {k})))"
+        ).alias("_hashes"),
+    )
+    return grams.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(_hashes) - {w} + 1, 1)), "
+                    f"j -> array_min(slice(_hashes, j, {w})))"
+                )
+            )
+        ).alias("fp"),
+    ).distinct()
+
+
+def winnow_candidate_pairs(
+    docs: DataFrame,
+    k: int = 16,
+    w: int = 16,
+    min_shared: int = 2,
+    max_df: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b, shared) pairs of documents sharing >= min_shared
+    winnowed fingerprints — the Moss-style local-overlap candidate
+    set (detects copied PASSAGES, which whole-document MinHash
+    dilutes away on long documents).
+
+    Skew guard for 100 TB: fingerprints occurring in more than
+    max_df documents are stop-fingerprints (site boilerplate) and are
+    dropped BEFORE the self-join — the over-df set is tiny, so it
+    broadcasts into an anti join and the quadratic bucket blowup on
+    universal fps never happens; the remaining self-join is bounded
+    by max_df^2 per fingerprint, the same bucket-cap argument as the
+    LSH band join."""
+    fps = winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+    stop = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_df)
+        .select("fp")
+    )
+    kept = fps.join(F.broadcast(stop), "fp", "left_anti")
+    a = kept.select(F.col(id_col).alias("doc_a"), "fp")
+    b = kept.select(F.col(id_col).alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )

@@ -539,3 +539,56 @@ def test_repetition_stats_planted(spark):
     r2 = got[2]
     assert (r2.n_lines, r2.dup_line_frac, r2.dup_line_char_frac,
             r2.top_token_frac) == (0, 0.0, 0.0, 0.0)
+
+
+def test_winnow_fingerprint_guarantee(spark):
+    """Schleimer et al.'s winnowing guarantee: two documents sharing
+    a substring of >= w + k - 1 normalized chars share at least one
+    fingerprint; docs shorter than k produce none; disjoint-alphabet
+    docs share none."""
+    shared = "the common plagiarized passage appears verbatim here"
+    rows = [
+        (0, "intro alpha. " + shared + " outro beta."),
+        (1, "different opening text! " + shared + " and a new ending."),
+        (2, "zzzz qqqq xxxx jjjj vvvv wwww kkkk yyyy zzzz qqqq xxxx"),
+        (3, "tiny"),  # normalized length 4 < k -> no fingerprints
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = dedup.winnow_fingerprints(docs, k=16, w=16)
+    by = {}
+    for r in fps.collect():
+        by.setdefault(r["doc_id"], set()).add(r["fp"])
+    # normalized shared run is len >= 31 = w + k - 1 -> guarantee
+    assert by[0] & by[1], "winnowing guarantee violated"
+    assert 3 not in by, "doc shorter than k must emit no fingerprints"
+    assert not (by[0] & by[2]) and not (by[1] & by[2])
+    # density sanity: ~2/(w+1) of positions, never more than n-k+1
+    for d, s in by.items():
+        assert 0 < len(s) <= len(rows[d][1])
+
+
+def test_winnow_candidate_pairs_and_stop_fps(spark):
+    """Pair generation finds the planted passage-overlap pair, and
+    the max_df stop-fingerprint cut drops boilerplate-driven pairs."""
+    boiler = "subscribe to our newsletter for updates every week now"
+    passage = "the disputed paragraph that was copied across documents"
+    # identical boilerplate-only docs: every selected fingerprint has
+    # df=6 > max_df -> ALL are stop-cut (fps selected near differing
+    # gram boundaries would legitimately survive, which is why the
+    # fixture avoids per-doc filler around the boilerplate)
+    rows = [(i, boiler) for i in range(6)]
+    rows += [
+        (10, "start a. " + passage + " tail one."),
+        (11, "start b! " + passage + " tail two."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.winnow_candidate_pairs(
+            docs, k=16, w=4, min_shared=1, max_df=3
+        ).collect()
+    }
+    assert (10, 11) in pairs, "planted passage overlap not found"
+    # the boilerplate fps occur in 6 > max_df=3 docs -> stop-cut:
+    # no pair among docs 0..5 survives
+    assert not [p for p in pairs if p[0] < 6 and p[1] < 6]
