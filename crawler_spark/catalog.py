@@ -116,6 +116,32 @@ class Catalog:
         snaps = self._load_manifest(table)
         return Snapshot(**snaps[-1]) if snaps else None
 
+    def rollback(self, table: str, version: int | None) -> bool:
+        """Make `version` the table's current snapshot again (the
+        Iceberg rollback-to-snapshot shape); `version=None` drops
+        every snapshot. Returns True when anything was dropped.
+
+        Crash-safe order: the truncated manifest is the commit point
+        (atomic rename), the orphaned newer version dirs are deleted
+        AFTER it — a crash in between leaves stale dirs that the
+        write paths clear defensively before reusing their version
+        number. Resume uses this so that after a cross-table epoch
+        rollback the CATALOG agrees with the in-memory state:
+        partition-pruned reads and partial-commit hardlink bases
+        serve the rolled-back snapshot, not the torn one."""
+        snaps = self._load_manifest(table)
+        keep = [
+            s for s in snaps
+            if version is not None and s["version"] <= version
+        ]
+        if len(keep) == len(snaps):
+            return False
+        drop = snaps[len(keep):]
+        self._commit_manifest(table, keep)
+        for s in drop:
+            shutil.rmtree(s["path"], ignore_errors=True)
+        return True
+
     def write(
         self,
         table: str,
@@ -132,6 +158,8 @@ class Catalog:
         snaps = self._load_manifest(table)
         version = (snaps[-1]["version"] + 1) if snaps else 0
         vdir = os.path.join(self.root, table, f"v{version:04d}")
+        if os.path.exists(vdir):  # orphan of a crashed rollback
+            shutil.rmtree(vdir, ignore_errors=True)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -183,6 +211,8 @@ class Catalog:
         prev_dir = snaps[-1]["path"]
         version = snaps[-1]["version"] + 1
         vdir = os.path.join(self.root, table, f"v{version:04d}")
+        if os.path.exists(vdir):  # orphan of a crashed rollback
+            shutil.rmtree(vdir, ignore_errors=True)
         changed = sorted(set(int(b) for b in changed_buckets))
         if changed:
             (

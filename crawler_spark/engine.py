@@ -338,6 +338,13 @@ class CrawlEngine:
             snap = latest[name]
             if snap.epoch > resume_epoch:
                 snap = self._snapshot_capped(name, resume_epoch)
+                # roll the CATALOG back too: with only the in-memory
+                # frame rolled back, cat.current() would keep serving
+                # the torn snapshot to partition-pruned reads and as
+                # the partial-commit hardlink base — the next commit
+                # would compose on (and hardlink from) exactly the
+                # state resume just discarded
+                self.cat.rollback(name, snap.version)
             chosen[name] = snap
             setattr(self, name, self._load(name, snap))
             self._snap_frames[name] = getattr(self, name)
@@ -348,39 +355,63 @@ class CrawlEngine:
         # commit metrics (with a one-time scan fallback for snapshots
         # written before the counter existed)
         self.n_edges = chosen["edges"].n_rows
-        try:
-            vsnap = self._snapshot_capped("visits", resume_epoch)
+        # auxiliary tables (visits index, dedup-state sketches):
+        # recovered INDEPENDENTLY — each either loads its snapshot at
+        # <= resume_epoch (rolling the catalog back past any torn
+        # newer version) or starts from its derivable/fresh state.
+        # Independence is sound because no operator joins these
+        # tables against each other, and both dedup sketches are
+        # monotone: a missing entry only means a duplicate is not
+        # recognized (safe direction); entries from a rolled-back
+        # epoch are the dangerous direction and the cap removes them.
+        def _aux_capped(name: str):
+            """Snapshot at <= resume_epoch, catalog rolled back to
+            it; None when the table must start over (never
+            committed, or every retained snapshot is newer than the
+            rollback point — e.g. a first-adoption commit torn by
+            the crash, whose orphan versions are dropped)."""
+            try:
+                snap = self._snapshot_capped(name, resume_epoch)
+            except FileNotFoundError:
+                return None
+            except RuntimeError:
+                if self.cat.rollback(name, None):
+                    self.last_resume_rollback.append(name)
+                return None
+            if self.cat.rollback(name, snap.version):
+                self.last_resume_rollback.append(name)
+            return snap
+
+        vsnap = _aux_capped("visits")
+        if vsnap is not None:
             self.visits = self._load("visits", vsnap)
             self._snap_frames["visits"] = self.visits
             self.total_visits = vsnap.n_rows
             self._visits_dirty = set()
-        except FileNotFoundError:
+        else:
             # pre-index snapshot: derive once and commit next epoch
             self.visits = walks_gen.visits_of(self.walks)
             self.total_visits = walks_gen.total_visits(self.walks)
             self._visits_dirty = None  # full write on next commit
-        try:
-            fsnap = self._snapshot_capped("doc_fps", resume_epoch)
-            bsnap = self._snapshot_capped("doc_bands", resume_epoch)
-            self.doc_fps = self._load("doc_fps", fsnap)
-            self.doc_bands = self._load("doc_bands", bsnap)
-            self._snap_frames["doc_fps"] = self.doc_fps
-            self._snap_frames["doc_bands"] = self.doc_bands
-            self._doc_fps_dirty = set()
-            self._doc_bands_dirty = set()
-        except FileNotFoundError:
-            # pre-dedup-state store: start fresh (full write next
-            # commit) — the sketch is monotone, so late adoption only
-            # means earlier content isn't consulted, never wrong dups
-            if self.dedup_state:
-                self.doc_fps = self.spark.createDataFrame(
-                    [], _DOC_FPS_SCHEMA
+        for name, schema, attr in (
+            ("doc_fps", _DOC_FPS_SCHEMA, "_doc_fps_dirty"),
+            ("doc_bands", _DOC_BANDS_SCHEMA, "_doc_bands_dirty"),
+        ):
+            snap = _aux_capped(name)
+            if snap is not None:
+                setattr(self, name, self._load(name, snap))
+                self._snap_frames[name] = getattr(self, name)
+                setattr(self, attr, set())
+            elif self.dedup_state:
+                # pre-dedup-state store (or torn first adoption):
+                # start fresh (full write next commit) — the sketch
+                # is monotone, so late adoption only means earlier
+                # content isn't consulted, never wrong dups
+                setattr(
+                    self, name, self.spark.createDataFrame([], schema)
                 )
-                self.doc_bands = self.spark.createDataFrame(
-                    [], _DOC_BANDS_SCHEMA
-                )
-                self._doc_fps_dirty = None
-                self._doc_bands_dirty = None
+                setattr(self, attr, None)
+        self.last_resume_rollback.sort()
         nid = cur_nodes.metrics.get("next_walk_id")
         self.next_walk_id = (
             int(nid) if nid is not None else walks_gen.next_walk_id(self.walks)
@@ -1040,13 +1071,16 @@ class CrawlEngine:
                 [], _DOC_BANDS_SCHEMA
             )
             self._doc_bands_dirty = None
-        # ---- exact side: batch fingerprints, rolled up per fp (the
-        # within-batch keeper = min doc_id, matching exact_dedup)
+        # ---- exact side: batch fingerprints, doc-level (for the
+        # keeper-identity check below), rolled up per fp (the
+        # within-batch keeper = min doc_id, matching exact_dedup);
+        # bk derives from dfp's checkpoint so the text/md5 pass still
+        # runs exactly once
+        dfp = docs.select(
+            F.col("doc_id"), dd.fingerprint(F.col("text")).alias("fp")
+        ).localCheckpoint(eager=False)
         bk = (
-            docs.select(
-                F.col("doc_id"), dd.fingerprint(F.col("text")).alias("fp")
-            )
-            .groupBy("fp")
+            dfp.groupBy("fp")
             .agg(
                 F.min("doc_id").alias("keeper_id"),
                 F.count("*").alias("_n"),
@@ -1088,7 +1122,11 @@ class CrawlEngine:
             sigs, self.dedup_hashes, self.dedup_bands, "doc_id"
         ).localCheckpoint(eager=False)
         # action 2 (tagged union): materializes new_fps AND nb, and
-        # returns both tables' dirty buckets + the new-fp count
+        # returns the fp dirty buckets, nb's bucket cover (the band
+        # corpus-pruning input), the new-fp count, and the count of
+        # batch docs that ARE the stored keeper of their known fp (a
+        # re-crawled keeper is NOT a duplicate of itself — mirrors
+        # incremental_exact_dedup's is_dup = keeper != doc_id)
         _urows = (
             new_fps.select(
                 self._bucket_of_str("fp").alias("b"), F.lit(0).alias("k")
@@ -1099,15 +1137,25 @@ class CrawlEngine:
                     F.lit(1).alias("k"),
                 )
             )
+            .unionByName(
+                dfp.join(
+                    corpus_fp.select(
+                        "fp", F.col("keeper_id").alias("doc_id")
+                    ),
+                    ["fp", "doc_id"],
+                    "left_semi",
+                ).select(F.lit(-1).alias("b"), F.lit(2).alias("k"))
+            )
             .groupBy("k", "b")
             .count()
             .collect()
         )
         n_new_fp = sum(int(r["count"]) for r in _urows if int(r["k"]) == 0)
         band_buckets = [int(r["b"]) for r in _urows if int(r["k"]) == 1]
-        # every non-keeper doc of a new fp, and every doc of a known
-        # fp, is an exact dup — no extra action needed
-        n_dup = n_docs - n_new_fp
+        n_self = sum(int(r["count"]) for r in _urows if int(r["k"]) == 2)
+        # non-dups = the new-fp keepers + the re-crawled stored
+        # keepers; everything else in the batch is an exact dup
+        n_dup = n_docs - n_new_fp - n_self
         corpus_b = self._pruned_table("doc_bands", band_buckets)
         if corpus_b is None:
             corpus_b = self.doc_bands
@@ -1121,9 +1169,17 @@ class CrawlEngine:
             nb.select("band", "key", F.col("doc_id").alias("_b2")),
             ["band", "key"],
         ).filter(F.col("_a") < F.col("_b2"))
-        # action 3: the consult step's near-dup candidate count —
-        # batch-vs-corpus plus within-batch, deduped across bands
-        n_cand = (
+        # append: a re-signed doc (re-crawl) must not duplicate rows it
+        # already stored — anti against the same pruned corpus slice
+        nb_new = nb.join(corpus_b, ["doc_id", "band", "key"], "left_anti")
+        # action 3 (tagged union): the consult step's near-dup
+        # candidate count (batch-vs-corpus plus within-batch, deduped
+        # across bands) AND the buckets of the band rows actually
+        # APPENDED — the dirty set must be nb_new's cover, not nb's:
+        # a re-crawl-heavy batch appends nothing, and marking every
+        # touched bucket dirty would rewrite byte-identical band
+        # partitions each epoch instead of hardlinking them
+        _vrows = (
             cross.select(
                 F.least("doc_id", "_cid").alias("a"),
                 F.greatest("doc_id", "_cid").alias("b"),
@@ -1134,16 +1190,26 @@ class CrawlEngine:
                 )
             )
             .distinct()
+            .select(F.lit(0).alias("k"), F.lit(-1).alias("b"))
+            .unionByName(
+                nb_new.select(
+                    F.lit(1).alias("k"),
+                    self._bucket_of_str("key").alias("b"),
+                )
+            )
+            .groupBy("k", "b")
             .count()
+            .collect()
         )
-        # append: a re-signed doc (re-crawl) must not duplicate rows it
-        # already stored — anti against the same pruned corpus slice
-        nb_new = nb.join(corpus_b, ["doc_id", "band", "key"], "left_anti")
+        n_cand = sum(int(r["count"]) for r in _vrows if int(r["k"]) == 0)
         self._mark_dirty(
             "_doc_fps_dirty",
             (int(r["b"]) for r in _urows if int(r["k"]) == 0),
         )
-        self._mark_dirty("_doc_bands_dirty", band_buckets)
+        self._mark_dirty(
+            "_doc_bands_dirty",
+            (int(r["b"]) for r in _vrows if int(r["k"]) == 1),
+        )
         self._pend("doc_fps", None, new_fps)
         self._pend("doc_bands", None, nb_new)
         self.doc_fps = self.doc_fps.unionByName(new_fps)

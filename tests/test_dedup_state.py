@@ -255,3 +255,96 @@ def test_resume_reconciles_cross_table_epoch_skew(spark, tmp_path):
     assert eng2.epoch == 2
     # nodes rolled back to the epoch-2 snapshot, not the 1-row orphan
     assert eng2.nodes.count() == n_nodes_e2
+    # the CATALOG rolled back too: with only the in-memory frame
+    # rolled back, partition-pruned reads and the next partial
+    # commit's hardlink base would still serve the torn snapshot —
+    # the next epoch would compose nodes from the 1-row orphan and
+    # hardlink the epoch-2 rows away permanently
+    assert eng2.cat.current("nodes").epoch == 2
+    _run_epochs(eng2, web, 1, start=2)
+    assert eng2.nodes.count() >= n_nodes_e2
+    eng3 = _mk(spark, root)
+    eng3.resume()
+    assert eng3.last_resume_rollback == []
+    assert eng3.nodes.count() == eng2.nodes.count()
+
+
+def test_resume_rolls_back_torn_aux_tables(spark, tmp_path):
+    """Aux tables (visits, doc_fps, doc_bands) commit in the same
+    concurrent pool as the core tables, so they can be torn too:
+    resume must cap them at the anchor epoch, roll their catalog
+    back past the orphan, and RECORD the rollback."""
+    web = _web(spark)
+    root = str(tmp_path / "aux")
+    eng = _mk(spark, root)
+    eng.bootstrap([datagen.node_url(i) for i in (0, 1, 2)], NOW)
+    _run_epochs(eng, web, 2)
+    fps_e2 = _rows(eng.doc_fps)
+
+    # torn epoch-3 commit reached only doc_fps
+    orphan = eng.doc_fps.limit(1).withColumn(
+        "bucket", eng._bucket_of_str("fp")
+    )
+    eng.cat.write("doc_fps", orphan, epoch=eng.epoch + 1,
+                  partition_by=["bucket"])
+
+    eng2 = _mk(spark, root)
+    eng2.resume()
+    assert eng2.last_resume_rollback == ["doc_fps"]
+    assert _rows(eng2.doc_fps) == fps_e2
+    assert eng2.cat.current("doc_fps").epoch == 2
+
+
+def test_resume_survives_torn_first_adoption(spark, tmp_path):
+    """A crash during the FIRST dedup-state commit can leave doc_fps
+    with only a snapshot NEWER than the resume anchor. Resume must
+    fall back to the fresh-start path (dropping the orphan), not
+    raise forever."""
+    web = _web(spark)
+    root = str(tmp_path / "first")
+    eng = _mk(spark, root)
+    eng.dedup_state = False  # pre-adoption store: no dedup commits
+    eng.bootstrap([datagen.node_url(i) for i in (0, 1, 2)], NOW)
+    _run_epochs(eng, web, 2)
+
+    # torn first-adoption commit: doc_fps exists ONLY at epoch 3
+    orphan = spark.createDataFrame(
+        [("00" * 16, 0)], engine._DOC_FPS_SCHEMA
+    ).withColumn("bucket", eng._bucket_of_str("fp"))
+    eng.cat.write("doc_fps", orphan, epoch=eng.epoch + 1,
+                  partition_by=["bucket"])
+
+    eng2 = _mk(spark, root)
+    eng2.resume()  # must not raise
+    assert "doc_fps" in eng2.last_resume_rollback
+    assert eng2.cat.current("doc_fps") is None
+    assert eng2.doc_fps.count() == 0 and eng2._doc_fps_dirty is None
+
+
+def test_recrawled_keeper_is_not_its_own_duplicate(spark, tmp_path):
+    """Re-ingesting unchanged content (a promotion re-fetch) must not
+    count the stored keeper as a duplicate of itself (is_dup means
+    keeper != doc_id, mirroring incremental_exact_dedup), and must
+    append NO new band rows — so the band table's dirty set stays
+    empty and its commit is pure hardlinks."""
+    web = _web(spark)
+    root = str(tmp_path / "rec")
+    eng = _mk(spark, root)
+    eng.bootstrap([datagen.node_url(i) for i in (0, 1, 2)], NOW)
+    (s1,), ingested = _run_epochs(eng, web, 1)
+    docs1 = _ingested_docs(eng, web, ingested).localCheckpoint()
+    n1 = docs1.count()
+    assert s1["docs"] == n1 and s1["dup_exact"] == 0
+
+    bands_dirty_before = set(eng._doc_bands_dirty or ())
+    s2 = eng._ingest_dedup_state(docs1)
+    assert s2["docs"] == n1
+    assert s2["dup_exact"] == 0  # every doc IS its stored keeper
+    assert set(eng._doc_bands_dirty or ()) == bands_dirty_before
+
+    # a genuinely new doc with a KNOWN fp (keeper not in batch) is
+    # still a dup
+    t0 = web.filter(F.col("url") == datagen.node_url(0)).first()["text"]
+    newdoc = spark.createDataFrame([(999, t0)], "doc_id long, text string")
+    s3 = eng._ingest_dedup_state(newdoc)
+    assert s3["docs"] == 1 and s3["dup_exact"] == 1
