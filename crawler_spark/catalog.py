@@ -42,6 +42,11 @@ class Snapshot:
     created_unix: float
     files: list[dict] = field(default_factory=list)
     metrics: dict = field(default_factory=dict)
+    # set by Catalog.rollback: the snapshot is no longer servable
+    # (its version dir is deleted) but its manifest row is KEPT as
+    # the audit trail, so lineage stays complete and version numbers
+    # are never reused
+    rolled_back: bool = False
 
 
 class Catalog:
@@ -109,35 +114,49 @@ class Catalog:
             if os.path.isdir(os.path.join(self.root, d))
         )
 
+    @staticmethod
+    def _active(snaps: list[dict]) -> list[dict]:
+        return [s for s in snaps if not s.get("rolled_back")]
+
     def snapshots(self, table: str) -> list[Snapshot]:
-        return [Snapshot(**s) for s in self._load_manifest(table)]
+        """Servable snapshots (rolled-back versions excluded — their
+        manifest rows remain on disk as the audit trail; read the
+        manifest directly or lineage() for the full history)."""
+        return [Snapshot(**s) for s in self._active(self._load_manifest(table))]
 
     def current(self, table: str) -> Snapshot | None:
-        snaps = self._load_manifest(table)
+        snaps = self._active(self._load_manifest(table))
         return Snapshot(**snaps[-1]) if snaps else None
 
     def rollback(self, table: str, version: int | None) -> bool:
         """Make `version` the table's current snapshot again (the
-        Iceberg rollback-to-snapshot shape); `version=None` drops
-        every snapshot. Returns True when anything was dropped.
+        Iceberg rollback-to-snapshot shape); `version=None` retires
+        every snapshot. Returns True when anything was retired.
 
-        Crash-safe order: the truncated manifest is the commit point
-        (atomic rename), the orphaned newer version dirs are deleted
-        AFTER it — a crash in between leaves stale dirs that the
-        write paths clear defensively before reusing their version
-        number. Resume uses this so that after a cross-table epoch
-        rollback the CATALOG agrees with the in-memory state:
-        partition-pruned reads and partial-commit hardlink bases
-        serve the rolled-back snapshot, not the torn one."""
+        Newer snapshots are MARKED rolled_back, never removed from
+        the manifest: lineage keeps the full history including the
+        torn commit (the audit trail), and version numbers are never
+        reused (writes allocate past the highest manifest version,
+        rolled back or not — mirroring Iceberg, which never reuses
+        snapshot ids). Crash-safe order: the marked manifest is the
+        commit point (atomic rename), the retired version dirs are
+        deleted AFTER it — a crash in between leaves stale dirs that
+        the write paths clear defensively. Resume uses this so that
+        after a cross-table epoch rollback the CATALOG agrees with
+        the in-memory state: partition-pruned reads and
+        partial-commit hardlink bases serve the rolled-back
+        snapshot, not the torn one."""
         snaps = self._load_manifest(table)
-        keep = [
+        drop = [
             s for s in snaps
-            if version is not None and s["version"] <= version
+            if not s.get("rolled_back")
+            and (version is None or s["version"] > version)
         ]
-        if len(keep) == len(snaps):
+        if not drop:
             return False
-        drop = snaps[len(keep):]
-        self._commit_manifest(table, keep)
+        for s in drop:
+            s["rolled_back"] = True
+        self._commit_manifest(table, snaps)
         for s in drop:
             shutil.rmtree(s["path"], ignore_errors=True)
         return True
@@ -204,11 +223,14 @@ class Catalog:
         identical to the previous snapshot (the engine's repair and
         delta operators pass untouched rows through unmodified)."""
         snaps = self._load_manifest(table)
-        if not snaps:
+        active = self._active(snaps)
+        if not active:
             raise FileNotFoundError(
                 f"partial write of {table!r} needs a base snapshot"
             )
-        prev_dir = snaps[-1]["path"]
+        # base = last SERVABLE snapshot; version allocated past the
+        # highest manifest version (rolled back or not) — never reused
+        prev_dir = active[-1]["path"]
         version = snaps[-1]["version"] + 1
         vdir = os.path.join(self.root, table, f"v{version:04d}")
         if os.path.exists(vdir):  # orphan of a crashed rollback
@@ -258,12 +280,14 @@ class Catalog:
         return snap
 
     def read(self, spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
-        snaps = self._load_manifest(table)
+        snaps = self._active(self._load_manifest(table))
         if not snaps:
             raise FileNotFoundError(f"no snapshot for table {table!r}")
         if version is None:
             chosen = snaps[-1]
         else:
+            # rolled-back versions are excluded: their data files are
+            # deleted at rollback (only the manifest row survives)
             match = [s for s in snaps if s["version"] == version]
             if not match:
                 raise FileNotFoundError(f"{table!r} has no version {version}")
@@ -271,9 +295,13 @@ class Catalog:
         return spark.read.parquet(chosen["path"])
 
     def _vacuum(self, table: str, snaps: list[dict], keep: int) -> None:
-        """Drop version dirs older than the last `keep` (manifest keeps
-        the full history for lineage)."""
-        for s in snaps[:-keep] if keep > 0 else []:
+        """Drop version dirs older than the last `keep` ACTIVE
+        snapshots (manifest keeps the full history for lineage;
+        rolled-back entries don't consume retention slots — their
+        dirs are already gone, and counting them would shrink the
+        rollback window _snapshot_capped depends on)."""
+        act = self._active(snaps)
+        for s in act[:-keep] if keep > 0 else []:
             if os.path.isdir(s["path"]):
                 shutil.rmtree(s["path"], ignore_errors=True)
 
@@ -301,7 +329,11 @@ class Catalog:
         rows = []
         for t in [table] if table is not None else self.tables():
             for s in self._load_manifest(t):
-                m = s.get("metrics") or {}
+                m = dict(s.get("metrics") or {})
+                if s.get("rolled_back"):
+                    # torn commits retired by resume stay in the
+                    # lineage as the audit trail, flagged here
+                    m["rolled_back"] = True
                 cb = m.get("changed_buckets")
                 rows.append(
                     (

@@ -1138,13 +1138,18 @@ class CrawlEngine:
                 )
             )
             .unionByName(
-                dfp.join(
-                    corpus_fp.select(
-                        "fp", F.col("keeper_id").alias("doc_id")
-                    ),
-                    ["fp", "doc_id"],
-                    "left_semi",
-                ).select(F.lit(-1).alias("b"), F.lit(2).alias("k"))
+                # corpus on the LEFT of the semi join (the streamed,
+                # probe side) with the batch broadcast — Spark cannot
+                # broadcast a left-semi's left side, so the flipped
+                # form would shuffle the corpus slice at scale. One
+                # row per (fp, keeper) pair that is in the batch,
+                # which is exactly one per re-crawled keeper (fp is
+                # unique in doc_fps)
+                corpus_fp.select(
+                    "fp", F.col("keeper_id").alias("doc_id")
+                )
+                .join(F.broadcast(dfp), ["fp", "doc_id"], "left_semi")
+                .select(F.lit(-1).alias("b"), F.lit(2).alias("k"))
             )
             .groupBy("k", "b")
             .count()

@@ -37,6 +37,25 @@ from .engine import CrawlEngine
 from .functions.extract import url_host
 
 
+def _pin_active_session(spark: SparkSession) -> None:
+    """Pin the JVM thread-local active SparkSession for this thread.
+
+    foreachBatch callbacks run on a fresh Python thread; under py4j
+    pinned-thread mode its paired JVM thread inherits thread-locals
+    from whichever JVM thread spawned the connection, which is NOT
+    guaranteed to carry the active-session InheritableThreadLocal.
+    Physical plan nodes constructed from such a thread capture
+    `session = null` and later NPE in `SparkPlan.resetMetrics`
+    (observed once, under load, in the ingest stream's dedup-state
+    collect). One static setter per batch makes every plan built in
+    the callback session-owned."""
+    try:
+        cls = SparkSession._get_j_spark_session_class(spark._jvm)
+        cls.setActiveSession(spark._jsparkSession)
+    except Exception:
+        pass  # e.g. Spark Connect: no JVM handle, manages this itself
+
+
 def stream_pages(
     spark: SparkSession,
     pages_dir: str,
@@ -261,6 +280,7 @@ def run_crawl_stream(
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        _pin_active_session(engine.spark)
         fetched = web.join(batch_df.select("url"), "url", "left_semi")
         ts = now or _dt.datetime.now(_dt.timezone.utc)
         engine.epoch += 1
@@ -309,6 +329,7 @@ def run_ingest_stream(
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        _pin_active_session(engine.spark)
         ts = now or _dt.datetime.now(_dt.timezone.utc)
         engine.epoch += 1
         stats = engine.process_pages(batch_df, ts)
@@ -373,6 +394,7 @@ def run_polite_ingest_stream(
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        _pin_active_session(engine.spark)
         # re-read page ROWS pinned to the admitted (url, warc_ts)
         # versions — NOT url alone: pages_dir may already hold a
         # NEWER version of a re-crawled url whose own micro-batch has

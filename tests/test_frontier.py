@@ -635,6 +635,43 @@ def test_catalog_lineage_queryable(spark, tmp_path):
     assert all(r.rewritten for r in fl.filter("version = 0").collect())
 
 
+def test_catalog_rollback_audit_and_no_version_reuse(spark, tmp_path):
+    """Catalog.rollback retires newer snapshots without erasing
+    history: the manifest row survives flagged rolled_back (lineage
+    audit trail), the retired data dir is gone, version numbers are
+    never reused, the next partial commit bases on the rolled-back-to
+    snapshot, and vacuum retention counts ACTIVE snapshots only."""
+    import json as _json
+    import os
+
+    cat = catalog.Catalog(str(tmp_path / "tables"))
+    df = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).cast("int").alias("bucket")
+    )
+    cat.write("t", df, epoch=1, partition_by=["bucket"])       # v0
+    cat.write_partial("t", df, [1], epoch=2)                   # v1
+    torn = cat.write_partial("t", df.limit(1), [0], epoch=3)   # v2 (torn)
+
+    assert cat.rollback("t", 1) is True
+    assert cat.rollback("t", 1) is False  # idempotent
+    assert cat.current("t").version == 1
+    assert [s.version for s in cat.snapshots("t")] == [0, 1]
+    assert not os.path.isdir(torn.path)
+    # audit: the torn commit's manifest row survives, flagged
+    lin = {r.version: r for r in cat.lineage(spark, "t").collect()}
+    assert '"rolled_back": true' in lin[2].metrics
+    assert "rolled_back" not in lin[1].metrics
+
+    # next commit: version 3 (never 2 again), based on v1 not the orphan
+    snap = cat.write_partial("t", df, [2], epoch=3)
+    assert snap.version == 3
+    assert cat.read(spark, "t").count() == 40
+    # vacuum window: with keep_versions=3, the three ACTIVE versions
+    # (0, 1, 3) all stay readable — the rolled-back row must not
+    # consume a retention slot
+    assert cat.read(spark, "t", version=0).count() == 40
+
+
 def test_parse_robots_merges_tied_groups(spark):
     """RFC 9309 §2.2.1: rules from ALL groups matching the agent at
     the best specificity combine — a second 'User-agent: *' block must

@@ -562,9 +562,18 @@ def test_winnow_fingerprint_guarantee(spark):
     assert by[0] & by[1], "winnowing guarantee violated"
     assert 3 not in by, "doc shorter than k must emit no fingerprints"
     assert not (by[0] & by[2]) and not (by[1] & by[2])
-    # density sanity: ~2/(w+1) of positions, never more than n-k+1
+    # density: winnowing SELECTS ~2/(w+1) of the n-k+1 gram hashes;
+    # a regression that emits (nearly) every gram hash must fail
+    # here, so bound at 3x the expected density, not at the gram
+    # count itself
+    import math, re
+
+    k, w = 16, 16
     for d, s in by.items():
-        assert 0 < len(s) <= len(rows[d][1])
+        n_grams = len(re.sub(r"[^a-z0-9]", "", rows[d][1].lower())) - k + 1
+        assert 0 < len(s) <= max(1, math.ceil(n_grams * 3 * 2 / (w + 1))), (
+            d, len(s), n_grams
+        )
 
 
 def test_winnow_candidate_pairs_and_stop_fps(spark):
