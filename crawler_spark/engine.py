@@ -70,6 +70,7 @@ from . import frontier as frontier_mod
 from . import graph, schemas, seen, walks_gen, walks_update
 from .catalog import Catalog
 from .functions.extract import extract_links, is_valid_url
+from .session import pin_active_session
 
 TABLES = (
     "nodes",
@@ -508,6 +509,11 @@ class CrawlEngine:
             "doc_bands": (self._bucket_of_str("key"), self._doc_bands_dirty),
         }
         def _commit_one(name: str, df: DataFrame) -> None:
+            # pool threads build plans (withColumn/filter/union) and
+            # run write actions on fresh py4j-paired JVM threads —
+            # pin the active-session thread-local first (see
+            # session.pin_active_session for the resetMetrics NPE)
+            pin_active_session(self.spark)
             if name in bucketed:
                 expr, dirty = bucketed[name]
                 partial = dirty is not None and self.cat.current(name) is not None

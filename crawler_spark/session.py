@@ -13,6 +13,23 @@ import os
 from pyspark.sql import SparkSession
 
 
+def pin_active_session(spark: SparkSession) -> None:
+    """Pin the JVM thread-local active SparkSession for the calling
+    thread. Python threads the engine creates (commit thread pool,
+    foreachBatch callbacks) get fresh py4j-paired JVM threads whose
+    InheritableThreadLocal state depends on which JVM thread spawned
+    the connection — the active session is NOT guaranteed to ride
+    along. A physical plan node constructed on such a thread captures
+    `session = null` and NPEs later in `SparkPlan.resetMetrics`
+    (observed once, under load, in the ingest stream). One static
+    setter per thread/batch closes the race."""
+    try:
+        cls = SparkSession._get_j_spark_session_class(spark._jvm)
+        cls.setActiveSession(spark._jsparkSession)
+    except Exception:
+        pass  # e.g. Spark Connect: no JVM handle, manages this itself
+
+
 def get_spark(
     app_name: str = "crawler_spark",
     master: str | None = None,

@@ -37,23 +37,10 @@ from .engine import CrawlEngine
 from .functions.extract import url_host
 
 
-def _pin_active_session(spark: SparkSession) -> None:
-    """Pin the JVM thread-local active SparkSession for this thread.
-
-    foreachBatch callbacks run on a fresh Python thread; under py4j
-    pinned-thread mode its paired JVM thread inherits thread-locals
-    from whichever JVM thread spawned the connection, which is NOT
-    guaranteed to carry the active-session InheritableThreadLocal.
-    Physical plan nodes constructed from such a thread capture
-    `session = null` and later NPE in `SparkPlan.resetMetrics`
-    (observed once, under load, in the ingest stream's dedup-state
-    collect). One static setter per batch makes every plan built in
-    the callback session-owned."""
-    try:
-        cls = SparkSession._get_j_spark_session_class(spark._jvm)
-        cls.setActiveSession(spark._jsparkSession)
-    except Exception:
-        pass  # e.g. Spark Connect: no JVM handle, manages this itself
+# foreachBatch callbacks run on fresh Python threads — pin the JVM
+# active-session thread-local before building any plan (see
+# session.pin_active_session for the resetMetrics NPE this closes)
+from .session import pin_active_session as _pin_active_session
 
 
 def stream_pages(
