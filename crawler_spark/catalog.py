@@ -299,10 +299,17 @@ class Catalog:
         snapshots (manifest keeps the full history for lineage;
         rolled-back entries don't consume retention slots — their
         dirs are already gone, and counting them would shrink the
-        rollback window _snapshot_capped depends on)."""
+        rollback window _snapshot_capped depends on). Also sweeps
+        data dirs of rolled-back rows: versions are never reused, so
+        a rollback that crashed between its manifest commit and the
+        dir delete would otherwise strand the dir forever (the write
+        paths' defensive clear only fires on a version collision)."""
         act = self._active(snaps)
         for s in act[:-keep] if keep > 0 else []:
             if os.path.isdir(s["path"]):
+                shutil.rmtree(s["path"], ignore_errors=True)
+        for s in snaps:
+            if s.get("rolled_back") and os.path.isdir(s["path"]):
                 shutil.rmtree(s["path"], ignore_errors=True)
 
     # ---- lineage (north_star: resumable crawls with per-partition

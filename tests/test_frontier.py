@@ -671,6 +671,14 @@ def test_catalog_rollback_audit_and_no_version_reuse(spark, tmp_path):
     # consume a retention slot
     assert cat.read(spark, "t", version=0).count() == 40
 
+    # crashed rollback: manifest marked but the data dir survived
+    # (crash between manifest commit and rmtree). Versions are never
+    # reused, so only vacuum can reclaim it — the next commit must
+    # sweep the stranded dir
+    os.makedirs(torn.path, exist_ok=True)
+    cat.write_partial("t", df, [3], epoch=4)  # v4
+    assert not os.path.isdir(torn.path)
+
 
 def test_parse_robots_merges_tied_groups(spark):
     """RFC 9309 §2.2.1: rules from ALL groups matching the agent at
