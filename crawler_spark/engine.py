@@ -384,6 +384,18 @@ class CrawlEngine:
             return snap
 
         vsnap = _aux_capped("visits")
+        if vsnap is not None and vsnap.epoch != resume_epoch:
+            # torn BEHIND the anchor: every core table reached
+            # resume_epoch but the concurrent visits commit didn't
+            # land, so the stored index is missing that epoch's
+            # deltas. Unlike the monotone dedup sketches, visits is
+            # an EXACT index of walks — serving the stale snapshot
+            # would silently skip repair of walks visiting
+            # epoch-changed nodes and hardlink the stale buckets
+            # forward on the next partial commit. walks at
+            # resume_epoch is present, so re-derive exactly.
+            self.last_resume_rollback.append("visits")
+            vsnap = None
         if vsnap is not None:
             self.visits = self._load("visits", vsnap)
             self._snap_frames["visits"] = self.visits
@@ -399,6 +411,27 @@ class CrawlEngine:
             ("doc_bands", _DOC_BANDS_SCHEMA, "_doc_bands_dirty"),
         ):
             snap = _aux_capped(name)
+            if snap is not None and name == "doc_bands":
+                # stored signatures are only consultable under the
+                # SAME MinHash/banding scheme: with different params
+                # the (band, key) equi-join never matches the corpus
+                # rows (silently-dead near-dup detection) and new
+                # appends would interleave two incompatible key
+                # schemes in one table. The corpus text is not
+                # retained, so re-signing is impossible — refuse.
+                stored = snap.metrics.get("dedup_params")
+                mine = [
+                    self.dedup_hashes, self.dedup_bands,
+                    self.dedup_shingle_k,
+                ]
+                if stored is not None and list(stored) != mine:
+                    raise ValueError(
+                        f"doc_bands was signed with (n_hashes, bands, "
+                        f"shingle_k) = {list(stored)} but this engine "
+                        f"was constructed with {mine}; resume with "
+                        f"matching dedup params (the stored corpus "
+                        f"cannot be re-signed)"
+                    )
             if snap is not None:
                 setattr(self, name, self._load(name, snap))
                 self._snap_frames[name] = getattr(self, name)
@@ -492,6 +525,12 @@ class CrawlEngine:
             "total_visits": self.total_visits,
             "next_walk_id": self.next_walk_id,
             "next_node_id": self.next_node_id,
+            # the MinHash/banding scheme the doc_bands rows were
+            # signed under — resume refuses to mix incompatible
+            # schemes in one signature table
+            "dedup_params": [
+                self.dedup_hashes, self.dedup_bands, self.dedup_shingle_k
+            ],
         }
         if extra:
             m.update(extra)
@@ -1068,6 +1107,14 @@ class CrawlEngine:
         driver actions per batch: batch-fp rollup, one tagged
         new-fp/band bucket collect, candidate count."""
         from .ops import dedup as dd
+
+        # textless pages (schemas.PAGES allows NULL text) carry no
+        # content to dedup: fingerprint(NULL) is NULL, which groupBy
+        # would treat as one group but every corpus equi-join would
+        # MISS — the NULL row would re-append every epoch, breaking
+        # the fp-uniqueness invariant of doc_fps. Drop them here;
+        # dedup stats cover content-bearing docs only.
+        docs = docs.filter(F.col("text").isNotNull())
 
         if self.doc_fps is None:
             self.doc_fps = self.spark.createDataFrame([], _DOC_FPS_SCHEMA)

@@ -348,3 +348,90 @@ def test_recrawled_keeper_is_not_its_own_duplicate(spark, tmp_path):
     newdoc = spark.createDataFrame([(999, t0)], "doc_id long, text string")
     s3 = eng._ingest_dedup_state(newdoc)
     assert s3["docs"] == 1 and s3["dup_exact"] == 1
+
+
+def test_resume_rederives_visits_torn_behind_anchor(spark, tmp_path):
+    """A crash can land every CORE table at epoch N while the
+    concurrent visits commit is torn: min-over-core anchors at N, so
+    nothing rolls back, but the stored index is missing epoch N's
+    deltas. Unlike the monotone dedup sketches, visits is an EXACT
+    index of walks — resume must detect the lag and re-derive from
+    walks instead of serving the stale snapshot forward (which would
+    skip repair of epoch-N-changed nodes and hardlink the stale
+    buckets on the next partial commit)."""
+    from crawler_spark import walks_gen
+
+    web = _web(spark)
+    root = str(tmp_path / "vb")
+    eng = _mk(spark, root)
+    eng.bootstrap([datagen.node_url(i) for i in (0, 1, 2)], NOW)
+    _run_epochs(eng, web, 2)
+    expected = _rows(walks_gen.visits_of(eng.walks))
+    total = eng.total_visits
+
+    # simulate: the epoch-2 visits commit never landed
+    prev = [
+        s for s in eng.cat.snapshots("visits") if s.epoch < eng.epoch
+    ][-1]
+    assert eng.cat.rollback("visits", prev.version)
+
+    eng2 = _mk(spark, root)
+    eng2.resume()
+    assert "visits" in eng2.last_resume_rollback
+    assert eng2._visits_dirty is None  # full write on next commit
+    assert _rows(eng2.visits) == expected
+    assert eng2.total_visits == total
+
+
+def test_resume_rejects_mismatched_dedup_params(spark, tmp_path):
+    """doc_bands rows are only consultable under the banding scheme
+    they were signed with; the corpus text is not retained, so resume
+    with different MinHash params must refuse instead of silently
+    dead-ending the near-dup consult and interleaving incompatible
+    key schemes in one table."""
+    import pytest
+
+    web = _web(spark)
+    root = str(tmp_path / "pm")
+    eng = _mk(spark, root)
+    eng.bootstrap([datagen.node_url(i) for i in (0, 1, 2)], NOW)
+    _run_epochs(eng, web, 1)
+
+    bad = engine.CrawlEngine(
+        spark, root, walks_per_node=20, n_buckets=8, batch_size=10,
+        promotion_wait_s=0.0, seed=42,
+        dedup_hashes=N_HASHES, dedup_bands=N_BANDS * 2,  # different
+        dedup_shingle_k=SHINGLE_K,
+    )
+    with pytest.raises(ValueError, match="signed with"):
+        bad.resume()
+
+    ok = _mk(spark, root)
+    ok.resume()  # matching params resume fine
+    assert ok.doc_bands.count() == eng.doc_bands.count()
+
+
+def test_textless_pages_excluded_from_dedup_state(spark, tmp_path):
+    """Pages with NULL text (the schema allows them) carry no content
+    to dedup: fingerprint(NULL) is NULL, which every corpus equi-join
+    MISSES — without the filter each epoch containing a textless page
+    would re-append a NULL row, breaking doc_fps' fp-uniqueness
+    invariant. They must simply not participate."""
+    nulls = [datagen.node_url(0), datagen.node_url(7)]  # epoch 1 + 2
+    web = _web(spark).withColumn(
+        "text",
+        F.when(F.col("url").isin(nulls), F.lit(None)).otherwise(
+            F.col("text")
+        ),
+    )
+    eng = _mk(spark, str(tmp_path / "nt"))
+    eng.bootstrap([datagen.node_url(i) for i in (0, 1, 2)], NOW)
+    (s1, s2), ingested = _run_epochs(eng, web, 2)
+
+    assert datagen.node_url(7) in ingested[1]  # the epoch-2 null page
+    assert s1["docs"] == 2  # 3 seeds minus the textless one
+    assert eng.doc_fps.filter(F.col("fp").isNull()).count() == 0
+    # fp-uniqueness invariant of the corpus table
+    assert (
+        eng.doc_fps.groupBy("fp").count().filter("count > 1").count() == 0
+    )
