@@ -296,9 +296,15 @@ def per_source_walk_sample(
     joined in for survivors — a hot source (celebrity node visited by
     ~every walk) ships ≤ limit paths to its stitch task instead of
     ~the whole store."""
+    # INNER join: the rows a left-outer would preserve (edge-less
+    # sources, member NULL) are dropped by the isNotNull below anyway
+    # — and a left join pins the big edge table as the only
+    # broadcastable side, forcing a full edge-table shuffle just to
+    # extract <= |sources| follow lists; inner lets AQE broadcast the
+    # tiny source set and stream the edges
     src_follow = (
         sources.select(F.col("node_id").alias("source_id"))
-        .join(edges, F.col("source_id") == F.col("src"), "left")
+        .join(edges, F.col("source_id") == F.col("src"))
         .select("source_id", F.col("dst").alias("member"))
     )
     # neighborhood membership: follows + the source itself
@@ -387,6 +393,18 @@ def personalized_pagerank_many(
     limit = walks_needed(target, alpha)
     per_source_walks = per_source_walk_sample(
         edges, walks, sources, limit, seed=seed, visits=visits
+    ).unionByName(
+        # sentinel row per source: a source no stored walk visits
+        # would otherwise form NO group and silently vanish from the
+        # output — the single-source path live-stitches that case
+        # instead. The sentinel guarantees the group; the stitch
+        # filters it out and runs fully live over the shared CSR
+        # (empty cache), matching personalized_pagerank's semantics.
+        sources.select(
+            F.col("node_id").alias("source_id"),
+            F.lit(-1).cast("bigint").alias("walk_id"),
+            F.array().cast("array<bigint>").alias("path"),
+        )
     ).localCheckpoint(eager=True)  # read twice: roots + stitch
     roots = (
         per_source_walks.select(F.explode("path").alias("node_id"))
@@ -408,7 +426,7 @@ def personalized_pagerank_many(
             )
         # input is pre-capped at `limit` rows per source (the window
         # above) — deterministic cache order regardless of partitioning
-        pdf = pdf.sort_values("walk_id")
+        pdf = pdf[pdf["walk_id"] >= 0].sort_values("walk_id")
         cached = [[int(x) for x in p] for p in pdf["path"]]
         all_walk = _stitch(src, target, alpha, seed, cached, local)
         res = _count_normalize(all_walk)

@@ -247,8 +247,18 @@ def build_seen_filters(
                     "bits": [f.to_bytes()],
                 }
             )
+        # set semantics: duplicates would each occupy a cuckoo slot
+        # (unlike the idempotent bloom OR) and survive one delete
+        urls = urls.drop_duplicates()
         f = CuckooFilter.sized_for(len(urls))
-        f.add(urls)
+        failed = f.add(urls)
+        while failed:
+            # near-full (unlucky kicks / fingerprint collisions):
+            # silently dropping an insert would be an admission FALSE
+            # NEGATIVE (a seen url re-admitted as new) — double and
+            # re-insert until everything fits
+            f = CuckooFilter(f.nb * 2)
+            failed = f.add(urls)
         return pd.DataFrame(
             {
                 "bucket": [bucket],
@@ -346,8 +356,16 @@ def probe_seen(
     Either way the probe is one Arrow pass over the candidates, zero
     shuffles, with a per-task deserialization cache.
     """
-    cand = candidates.withColumn("bucket", url_bucket(F.col("url"), n_buckets))
+    # private column name: a caller's own `bucket` column (e.g.
+    # frontier rows bucketed under a different n_buckets) must pass
+    # through untouched, not be silently rewritten to the seen
+    # layer's value
+    cand = candidates.withColumn(
+        "_seen_bucket", url_bucket(F.col("url"), n_buckets)
+    )
     cols = list(candidates.columns)
+    if "maybe_seen" in cols:
+        raise ValueError("candidates already has a maybe_seen column")
     out_schema = StructType(
         [candidates.schema[c] for c in cols]
         + [StructField("maybe_seen", BooleanType())]
@@ -381,7 +399,7 @@ def probe_seen(
             if len(pdf) == 0:
                 continue
             maybe = np.zeros(len(pdf), dtype=bool)
-            for b, grp in pdf.groupby("bucket", sort=False):
+            for b, grp in pdf.groupby("_seen_bucket", sort=False):
                 filt = cache.get(int(b))
                 if filt is None:
                     ent = lookup(int(b))
@@ -470,6 +488,7 @@ def update_seen_filters(
     bits_per_key: int = 10,
     filters_path: str | None = None,
     add_counts: dict[int, int] | None = None,
+    kind: str = "bloom",
 ) -> tuple[DataFrame, set[int]]:
     """Incremental filter maintenance: only buckets that gained urls
     are touched (the 10^10 form — a full rebuild scans the whole seen
@@ -499,7 +518,12 @@ def update_seen_filters(
     `add_counts` ({bucket: n_new_urls}) lets a caller that already
     aggregated the new urls by bucket (the engine's mint action does
     exactly this) skip the duplicate collect here; when omitted it is
-    derived with one action."""
+    derived with one action.
+
+    `kind` must match what the filters table was built with: the
+    capacity check, the grow path and the rebuild are all
+    per-representation (for cuckoo, m_bits stores the bucket count
+    and capacity keeps the 1/1.3 load margin of sized_for)."""
     spark = new_urls.sparkSession
     adds = new_urls.select(
         "url", url_bucket(F.col("url"), n_buckets).alias("bucket")
@@ -520,7 +544,15 @@ def update_seen_filters(
     grow, rebuild = [], []
     for b, n_new in add_counts.items():
         n_items, m_bits = existing.get(b, (0, 0))
-        if m_bits and (n_items + n_new) * bits_per_key <= m_bits:
+        if kind == "bloom":
+            # capacity = m_bits / bits_per_key items
+            fits = m_bits and (n_items + n_new) * bits_per_key <= m_bits
+        else:
+            # cuckoo: m_bits stores the BUCKET count; sized_for's
+            # headroom keeps load <= 1/1.3, where 4-slot cuckoo
+            # insertion essentially never fails
+            fits = m_bits and (n_items + n_new) * 1.3 <= m_bits * CuckooFilter.SLOTS
+        if fits:
             grow.append(b)
         else:
             rebuild.append(b)
@@ -556,8 +588,18 @@ def update_seen_filters(
         def grow_fn(pdf: pd.DataFrame) -> pd.DataFrame:
             b = int(pdf["bucket"].iloc[0])
             n_items, m_bits, blob = _blob_of(b)
-            f = BloomFilter.from_bytes(m_bits, blob)
-            f.add(pdf["url"])
+            if kind == "bloom":
+                f = BloomFilter.from_bytes(m_bits, blob)
+                f.add(pdf["url"])
+            else:
+                f = CuckooFilter.from_bytes(m_bits, blob)
+                if f.add(pdf["url"].drop_duplicates()):
+                    # can't rebuild here (only the delta is in hand);
+                    # the 1/1.3 capacity margin makes this ~impossible
+                    raise RuntimeError(
+                        f"cuckoo bucket {b} rejected inserts below "
+                        "its capacity margin — rebuild the bucket"
+                    )
             return pd.DataFrame(
                 {
                     "bucket": [b],
@@ -582,7 +624,9 @@ def update_seen_filters(
             .filter(F.col("bucket").isin(rebuild))
             .select("url")
         )
-        parts.append(build_seen_filters(members, n_buckets, bits_per_key))
+        parts.append(
+            build_seen_filters(members, n_buckets, bits_per_key, kind=kind)
+        )
 
     out = parts[0]
     for p in parts[1:]:

@@ -159,13 +159,21 @@ def _graft_assignments(
     lookup (the reference's walksVisiting sets); without one it is a
     map-side explode+filter scan of the store."""
     nodes = sorted(added_nodes)
+    spark = walks.sparkSession
     if visits is not None:
-        v = visits.select("walk_id", "node_id").filter(F.col("node_id").isin(nodes))
+        v = visits.select("walk_id", "node_id")
     else:
-        v = (
-            walks.select("walk_id", F.explode("path").alias("node_id"))
-            .filter(F.col("node_id").isin(nodes))
+        v = walks.select("walk_id", F.explode("path").alias("node_id"))
+    if len(nodes) > LITERAL_SELECT_LIMIT:
+        # same expression-tree liability as the removal phase's
+        # guard below: a giant IN-list blows the codegen budget —
+        # probe via a broadcast semi-join instead
+        nodes_df = spark.createDataFrame(
+            [(int(n),) for n in nodes], "node_id long"
         )
+        v = v.join(nodes_df.hint("broadcast"), "node_id", "left_semi")
+    else:
+        v = v.filter(F.col("node_id").isin(nodes))
     counts = {int(r["node_id"]): int(r["n"]) for r in
               v.groupBy("node_id").agg(F.count("*").alias("n")).collect()}
     limits = []
@@ -174,10 +182,14 @@ def _graft_assignments(
         vis = counts.get(a, 0)
         p = len(added) / max(follows_count, 1)
         limits.append((a, int(p * vis + 0.5)))
-    spark = walks.sparkSession
     limits_df = spark.createDataFrame(limits, "node_id long, lim long")
+    # walk_id tie-break: at 10^12 walks 64-bit hash collisions are
+    # expected (birthday bound), and hash-only ordering would resolve
+    # ties by partition-internal row order — breaking the module's
+    # partition/retry invariance at the limit boundary (ppr.py orders
+    # by (hkey, walk_id) for the same reason)
     w = Window.partitionBy("node_id").orderBy(
-        F.xxhash64(F.lit(seed), F.lit(epoch), F.col("walk_id"))
+        F.xxhash64(F.lit(seed), F.lit(epoch), F.col("walk_id")), "walk_id"
     )
     sampled = (
         v.withColumn("_rn", F.row_number().over(w))
@@ -238,6 +250,14 @@ def _cut_phase(
                     a = int(graft)
                     if a in p:
                         p = p[: p.index(a) + 1]
+                        # `updated` deliberately means RE-DECIDED, not
+                        # byte-changed: a tail graft whose coin lands
+                        # truncate-only leaves the path identical, but
+                        # the reference rewrites and counts it all the
+                        # same (update.go:126-180 + the walksTracker
+                        # change signal), and A7's sample-size gate
+                        # (test_estimate_walks_to_update_rounding)
+                        # counts the full graft sample
                         updated[i] = True
                         s2 = rng.hash64(seed, epoch, wids[i], _SALT_SEGMENT)
                         coin = float(rng.u01(s2, 0, _SALT_GRAFT_COIN))

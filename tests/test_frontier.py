@@ -712,3 +712,78 @@ def test_parse_robots_merges_tied_groups(spark):
         for r in frontier.parse_robots(docs2, user_agent="anybot").collect()
     )
     assert got2 == [(False, "/c/", None)]
+
+
+def test_cuckoo_build_dedups_and_never_drops(spark):
+    """build_seen_filters(kind='cuckoo') must never silently drop an
+    insert: >2*SLOTS copies of one url cannot all fit (two buckets of
+    four slots), so the pre-fix build discarded the failures and the
+    admission gate saw FALSE NEGATIVES. The build now dedups (set
+    semantics: one delete removes membership) and grows until every
+    fingerprint fits."""
+    dup = "https://dup.test/x"
+    urls = [dup] * 20 + _urls("ck", 3000)
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    filters = seen.build_seen_filters(df, n_buckets=4, kind="cuckoo")
+    probed = seen.probe_seen(df.distinct(), filters, 4, kind="cuckoo")
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+    # deduped: the duplicated url counts once
+    n = {r.bucket: r.n_items for r in filters.collect()}
+    assert sum(n.values()) == 3001
+
+
+def test_cuckoo_filters_update_and_probe(spark):
+    """update_seen_filters(kind='cuckoo'): the grow path adds into
+    the existing table, the rebuild path re-sizes with cuckoo
+    semantics, untouched buckets stay byte-identical, and membership
+    stays exact-negative-free — previously the function applied bloom
+    semantics unconditionally, corrupting a cuckoo table."""
+    base = [f"https://ck{i % 13}.test/p{i}" for i in range(2000)]
+    small = [f"https://ck{i % 13}.test/p{i}" for i in range(2000, 2200)]
+    big = [f"https://ck{i % 13}.test/p{i}" for i in range(2200, 6000)]
+    base_df = spark.createDataFrame([(u,) for u in base], "url string")
+    small_df = spark.createDataFrame([(u,) for u in small], "url string")
+    big_df = spark.createDataFrame([(u,) for u in big], "url string")
+
+    f0 = seen.build_seen_filters(base_df, n_buckets=8, kind="cuckoo").persist()
+    # small delta: fits capacity -> grow in place
+    f1, touched1 = seen.update_seen_filters(
+        f0, small_df, base_df, n_buckets=8, kind="cuckoo"
+    )
+    f1 = f1.persist()
+    probed = seen.probe_seen(
+        base_df.unionByName(small_df), f1, 8, kind="cuckoo"
+    )
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+    b0 = {r.bucket: bytes(r.bits) for r in f0.collect()}
+    b1 = {r.bucket: bytes(r.bits) for r in f1.collect()}
+    for b in set(b0) - touched1:
+        assert b0[b] == b1[b], b
+
+    # big delta: exceeds the 1/1.3 load margin -> rebuild at new size
+    all_df = base_df.unionByName(small_df).unionByName(big_df)
+    f2, _ = seen.update_seen_filters(
+        f1, big_df, base_df.unionByName(small_df), n_buckets=8, kind="cuckoo"
+    )
+    probed2 = seen.probe_seen(all_df, f2, 8, kind="cuckoo")
+    assert probed2.filter(~F.col("maybe_seen")).count() == 0
+    # rebuilt buckets actually re-sized (bucket count grew somewhere)
+    m1 = {r.bucket: r.m_bits for r in f1.collect()}
+    m2 = {r.bucket: r.m_bits for r in f2.collect()}
+    assert any(m2[b] > m1.get(b, 0) for b in m2)
+
+
+def test_probe_seen_preserves_caller_bucket_column(spark):
+    """A caller's own `bucket` column (e.g. frontier rows bucketed
+    under a different n_buckets) must pass through probe_seen
+    untouched — the seen layer buckets under a private name."""
+    urls = _urls("pb", 50)
+    seen_df = spark.createDataFrame([(u,) for u in urls[:25]], "url string")
+    filters = seen.build_seen_filters(seen_df, n_buckets=8)
+    cand = spark.createDataFrame(
+        [(u, 99) for u in urls], "url string, bucket int"
+    )
+    out = seen.probe_seen(cand, filters, 8)
+    rows = out.collect()
+    assert all(r.bucket == 99 for r in rows)
+    assert sum(r.maybe_seen for r in rows) >= 25

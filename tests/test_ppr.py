@@ -256,3 +256,39 @@ def test_per_source_sample_is_group_limited_pre_shuffle(spark):
     p = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in p and "Partial" in p
     assert p.count("partial_count") == 0  # no n_hits sizing pass
+
+
+def test_many_source_includes_walkless_sources(spark):
+    """A source whose whole neighborhood no stored walk visits must
+    still appear in the many-source output, matching the
+    single-source path's live stitch (and the degenerate
+    {source: 1.0} for a dangling source) — previously such sources
+    formed no applyInPandas group and silently vanished."""
+    follows = {0: [1], 1: [2], 2: [], 5: [6], 6: []}
+    edges = spark.createDataFrame(
+        [(s, d) for s, ds in follows.items() for d in ds],
+        "src long, dst long",
+    )
+    # walks only from node 0: nothing ever visits 5, 6 or 7
+    starts0 = spark.createDataFrame([(0,)], "node_id long")
+    walks = walks_gen.generate_walks(
+        spark, edges, starts0, walks_per_node=200, seed=3,
+        strategy="broadcast",
+    ).localCheckpoint()
+    sources = spark.createDataFrame([(0,), (5,), (7,)], "node_id long")
+
+    rows = ppr.personalized_pagerank_many(
+        spark, edges, walks, sources, top_k=20, seed=3
+    ).collect()
+    assert {r.source_id for r in rows} == {0, 5, 7}
+    # unknown/dangling source: self-distribution
+    assert [
+        (r.node_id, r.rank) for r in rows if r.source_id == 7
+    ] == [(7, 1.0)]
+    # walk-less source with edges: identical to the single-source
+    # live stitch (same stitcher, same rng keying, empty cache)
+    single5 = ppr.personalized_pagerank(
+        spark, edges, walks, 5, top_k=20, seed=3
+    )
+    m5 = sorted((r.node_id, r.rank) for r in rows if r.source_id == 5)
+    assert m5 == sorted(map(tuple, single5.collect()))
