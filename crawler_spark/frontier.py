@@ -53,20 +53,36 @@ def enqueue(
     spark: SparkSession | None = None,
 ) -> DataFrame:
     """Add (url, node_id?) rows to the frontier in state 'queued'.
-    Already-present urls are not re-queued (anti-join on url)."""
+    Already-present urls are not re-queued (anti-join on url), and
+    duplicates WITHIN the batch collapse to one row (max priority,
+    min node_id) — a url queued twice would double-count against its
+    host's politeness budget and then multiply through every
+    scheduler tick's url join."""
     cols = urls.columns
-    new = urls.select(
-        "url",
-        url_host(F.col("url")).alias("host"),
-        (F.col("node_id") if "node_id" in cols else F.lit(None)).cast("long").alias(
-            "node_id"
-        ),
-        (F.col("priority") if "priority" in cols else F.lit(0.0)).cast("double").alias(
-            "priority"
-        ),
-        F.lit(now).cast("timestamp").alias("enqueued_ts"),
-        F.lit(None).cast("timestamp").alias("fetched_ts"),
-        F.lit("queued").alias("state"),
+    new = (
+        urls.select(
+            "url",
+            (F.col("node_id") if "node_id" in cols else F.lit(None))
+            .cast("long")
+            .alias("node_id"),
+            (F.col("priority") if "priority" in cols else F.lit(0.0))
+            .cast("double")
+            .alias("priority"),
+        )
+        .groupBy("url")
+        .agg(
+            F.min("node_id").alias("node_id"),
+            F.max("priority").alias("priority"),
+        )
+        .select(
+            "url",
+            url_host(F.col("url")).alias("host"),
+            "node_id",
+            "priority",
+            F.lit(now).cast("timestamp").alias("enqueued_ts"),
+            F.lit(None).cast("timestamp").alias("fetched_ts"),
+            F.lit("queued").alias("state"),
+        )
     )
     if frontier is None:
         return new
@@ -130,42 +146,61 @@ def schedule_batch(
                 .agg(F.max("crawl_delay_s").alias("crawl_delay_s"))
             )
             queued = queued.join(F.broadcast(delays), "host", "left")
-            budget = F.greatest(
-                F.lit(1),
-                F.floor(
-                    F.lit(tick_seconds)
-                    / F.coalesce(
-                        "crawl_delay_s", F.lit(default_crawl_delay_s)
-                    )
-                ),
+            delay = F.coalesce(
+                "crawl_delay_s", F.lit(default_crawl_delay_s)
+            )
+            # Crawl-delay 0 = unthrottled, not budget-1 (see the
+            # single-prefix branch)
+            budget = F.when(delay <= 0, F.lit(1 << 31)).otherwise(
+                F.greatest(F.lit(1), F.floor(F.lit(tick_seconds) / delay))
             )
         else:
-            budget = F.greatest(
-                F.lit(1), F.floor(F.lit(tick_seconds / default_crawl_delay_s))
+            budget = F.lit(
+                (1 << 31)
+                if default_crawl_delay_s <= 0
+                else max(1, int(tick_seconds // default_crawl_delay_s))
             )
     elif robots is not None:
-        r = F.broadcast(robots.select("host", "disallow_prefix", "crawl_delay_s"))
-        queued = queued.join(r, "host", "left")
+        rb = robots.select("host", "disallow_prefix", "crawl_delay_s")
         # path = url minus scheme+host; regexp (not a fixed offset) so
         # http:// (7 chars) and https:// (8) both keep their leading '/'
         path = F.regexp_replace("url", r"^https?://[^/]+", "")
-        blocked_cond = (
-            F.col("disallow_prefix").isNotNull()
-            & path.startswith(F.col("disallow_prefix"))
+        # a host may carry SEVERAL disallow rows: derive the blocked
+        # url set via join + distinct and subtract it, instead of
+        # left-joining rules onto queued rows — that would duplicate
+        # every queued row per rule, double-counting the politeness
+        # budget and putting the same url into the batch twice.
+        # length > 0: a bare 'Disallow:' (empty prefix) disallows
+        # NOTHING (RFC 9309), exactly as the rules path treats it
+        blocked = (
+            queued.join(F.broadcast(rb), "host")
+            .filter(
+                F.col("disallow_prefix").isNotNull()
+                & (F.length("disallow_prefix") > 0)
+                & path.startswith(F.col("disallow_prefix"))
+            )
+            .select("url")
+            .distinct()
         )
-        blocked = queued.filter(blocked_cond).select("url")
-        queued = queued.filter(~blocked_cond | F.col("disallow_prefix").isNull())
-        budget = F.greatest(
-            F.lit(1),
-            F.floor(
-                F.lit(tick_seconds)
-                / F.coalesce("crawl_delay_s", F.lit(default_crawl_delay_s))
-            ),
+        queued = queued.join(blocked, "url", "left_anti")
+        # one delay per host for the budget (max = most conservative)
+        delays = rb.groupBy("host").agg(
+            F.max("crawl_delay_s").alias("crawl_delay_s")
+        )
+        queued = queued.join(F.broadcast(delays), "host", "left")
+        delay = F.coalesce("crawl_delay_s", F.lit(default_crawl_delay_s))
+        # Crawl-delay 0 = the host opted OUT of throttling: tick/0 is
+        # NULL in Spark and greatest(1, NULL) would silently clamp the
+        # UNthrottled host to the most-throttled budget of 1
+        budget = F.when(delay <= 0, F.lit(1 << 31)).otherwise(
+            F.greatest(F.lit(1), F.floor(F.lit(tick_seconds) / delay))
         )
     else:
         blocked = None
-        budget = F.greatest(
-            F.lit(1), F.floor(F.lit(tick_seconds / default_crawl_delay_s))
+        budget = F.lit(
+            (1 << 31)
+            if default_crawl_delay_s <= 0
+            else max(1, int(tick_seconds // default_crawl_delay_s))
         )
 
     w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url"))

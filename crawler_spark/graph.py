@@ -93,7 +93,15 @@ def mint_node_ids(
         "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
     )
     w = Window.partitionBy("_pid").orderBy("url")
-    ts = F.lit(added_ts).cast("timestamp") if added_ts else F.current_timestamp()
+    if added_ts is None:
+        # a DRIVER-side timestamp, not F.current_timestamp(): the
+        # returned frame sits above a lazy checkpoint and is acted on
+        # more than once (count, union, commit, resume replay) —
+        # current_timestamp() is fixed per query execution, so each
+        # action would stamp a different added_ts, and added_ts feeds
+        # the arbiter's promotion-wait cutoff
+        added_ts = _dt.datetime.now(_dt.timezone.utc)
+    ts = F.lit(added_ts).cast("timestamp")
     return ranged.join(F.broadcast(offsets), "_pid").select(
         # cast: row_number yields INT; ids must be LONG everywhere
         # (xxhash64 hashes int32 and int64 differently — a mixed-width
@@ -116,7 +124,9 @@ def nodes_from_urls(
     """S9 bootstrap: seed-list -> initial nodes table
     (reference NewDatabaseFromPubkeys,
     pkg/database/redisdb/database.go:576-589)."""
-    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    # explicit schema: a bare column-name list cannot infer a schema
+    # from an empty seed list
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
     return mint_node_ids(None, df, status=status, added_ts=added_ts)
 
 
@@ -159,15 +169,17 @@ def apply_deltas(edges: DataFrame, deltas: DataFrame) -> DataFrame:
 
     Expressed as anti-join(removals) ∪ additions. At cluster scale both
     sides are bucketed by src so this rewrites only affected buckets
-    (MERGE-shaped); delta cardinality is tiny next to |edges|, so the
-    anti-join broadcasts."""
+    (MERGE-shaped). No forced broadcast hint on the removal set: a
+    mass-churn epoch can make it unbounded, and forcing THAT to every
+    executor is the OOM remove_walks/apply_arbiter deliberately
+    dropped — AQE broadcasts the (usual) small case on its own."""
     removed = deltas.select(
         F.col("node_id").alias("src"), F.explode("removed").alias("dst")
     )
     added = deltas.select(
         F.col("node_id").alias("src"), F.explode("added").alias("dst")
     )
-    kept = edges.join(removed.hint("broadcast"), ["src", "dst"], "left_anti")
+    kept = edges.join(removed, ["src", "dst"], "left_anti")
     return kept.unionByName(added)
 
 

@@ -190,7 +190,9 @@ def kmeans_centroids(
     spark = corpus.sparkSession
     init = (
         corpus.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.xxhash64(F.lit(seed), F.col(id_col)))
+        # id tie-break: hash-only order + limit would let a 64-bit
+        # collision at the cutoff pick partition-dependent centroids
+        .orderBy(F.xxhash64(F.lit(seed), F.col(id_col)), F.col(id_col))
         .limit(n_cells)
         .orderBy(F.col(id_col))
         .collect()
@@ -237,6 +239,10 @@ def kmeans_centroids(
             corpus_v.mapInPandas(partials, schema=part_schema)
             .collect()
         )
+        # each round broadcasts a fresh centroid matrix — release it,
+        # or n_iters x (n_cells x dim) matrices stay pinned in the
+        # block manager for the session lifetime
+        bc.destroy()
         new_n = np.zeros(len(cents), dtype=np.int64)
         new_v = np.zeros_like(cents)
         for r in sorted(rows, key=lambda r: r["cell"]):
@@ -284,14 +290,47 @@ def ivf_topk(
         )
     )
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("cv"))
-    assign_w = Window.partitionBy(id_col).orderBy(F.desc("cos_c"), F.asc("cell"))
-    assigned = (
-        c.crossJoin(F.broadcast(cent))
-        .withColumn("cos_c", cosine_expr(F.col("cv"), F.col("centroid")))
-        .withColumn("rc", F.row_number().over(assign_w))
-        .filter(F.col("rc") == 1)
-        .select(id_col, "cell", "cv")
+    # map-side argmax assignment against the broadcast centroid
+    # matrix: the previous |corpus| x n_cells crossJoin + full-corpus
+    # row_number window exploded and SHUFFLED the whole store on
+    # every call — even when a trained centroid table was reused, a
+    # 100-row query batch paid a training-round's cost. One Arrow
+    # matmul per partition, zero shuffles (the same shape as
+    # kmeans_centroids' partials). Tie semantics mirror the old
+    # window (cos rounded to 6dp DESC, cell ASC): round before
+    # argmax; argmax returns the first — smallest cell — maximum.
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    spark = corpus.sparkSession
+    cent_rows = cent.orderBy("cell").collect()
+    cell_ids = np.array([int(r["cell"]) for r in cent_rows], dtype=np.int32)
+    cmat = np.stack(
+        [np.asarray(r["centroid"], dtype=np.float64) for r in cent_rows]
     )
+    cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+    bc_cent = spark.sparkContext.broadcast((cell_ids, cmat))
+    a_schema = StructType(
+        [c.schema[id_col], StructField("cell", IntegerType()), c.schema["cv"]]
+    )
+
+    def assign(batches):
+        cells_, cm = bc_cent.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray(np.stack(pdf["cv"].to_numpy()), dtype=np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = np.round(mat @ cm.T, 6)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cell": cells_[np.argmax(sims, axis=1)],
+                    "cv": pdf["cv"],
+                }
+            )
+
+    assigned = c.mapInPandas(assign, schema=a_schema)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     probe_w = Window.partitionBy("query_id").orderBy(F.desc("cos_c"), F.asc("cell"))
     probes = (

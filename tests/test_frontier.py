@@ -787,3 +787,85 @@ def test_probe_seen_preserves_caller_bucket_column(spark):
     rows = out.collect()
     assert all(r.bucket == 99 for r in rows)
     assert sum(r.maybe_seen for r in rows) >= 25
+
+
+def test_enqueue_dedups_within_batch(spark):
+    """A url appearing twice in one enqueue batch must collapse to a
+    single frontier row (max priority, min node_id) — duplicates
+    would double-count the host's politeness budget and then multiply
+    through every scheduler tick's url join."""
+    urls = spark.createDataFrame(
+        [("https://a.test/x", 1, 0.5), ("https://a.test/x", 2, 0.9),
+         ("https://a.test/y", 3, 0.1)],
+        "url string, node_id long, priority double",
+    )
+    fr = frontier.enqueue(None, urls, NOW)
+    rows = {r.url: r for r in fr.collect()}
+    assert len(rows) == 2
+    assert rows["https://a.test/x"].priority == 0.9
+    assert rows["https://a.test/x"].node_id == 1
+    # and still no re-queue of urls already in the frontier
+    fr2 = frontier.enqueue(fr, urls, NOW)
+    assert fr2.count() == 2
+
+
+def test_schedule_empty_disallow_blocks_nothing(spark):
+    """A bare 'Disallow:' (empty prefix) disallows NOTHING per RFC
+    9309 — previously startswith('') matched every url and banned the
+    whole host."""
+    rows = [
+        (f"https://f.test/p{i}", "f.test", None, 1.0, NOW, None, "queued")
+        for i in range(3)
+    ]
+    fr = _frontier_df(spark, rows)
+    robots = spark.createDataFrame(
+        [("f.test", "", 1.0)], schema=schemas.ROBOTS
+    )
+    batch, fr2 = frontier.schedule_batch(fr, robots, NOW, 60.0, 50)
+    assert batch.count() == 3
+    assert fr2.filter(F.col("state") == "blocked").count() == 0
+
+
+def test_schedule_crawl_delay_zero_is_unthrottled(spark):
+    """Crawl-delay 0 means the host opted OUT of throttling: all its
+    queued urls fit one tick — previously tick/0 was NULL and
+    greatest(1, NULL) clamped the host to the minimum budget of 1."""
+    rows = [
+        (f"https://g.test/p{i}", "g.test", None, 1.0, NOW, None, "queued")
+        for i in range(10)
+    ]
+    fr = _frontier_df(spark, rows)
+    robots = spark.createDataFrame(
+        [("g.test", None, 0.0)], schema=schemas.ROBOTS
+    )
+    batch, _ = frontier.schedule_batch(fr, robots, NOW, 60.0, 50)
+    assert batch.count() == 10
+
+
+def test_schedule_multiple_disallow_rows_per_host(spark):
+    """A host with SEVERAL disallow rows must block the union of the
+    prefixes WITHOUT duplicating its queued rows — the old left join
+    duplicated every row per rule, double-counting the politeness
+    budget and emitting the same url twice into the batch."""
+    rows = [
+        ("https://m.test/p1", "m.test", None, 3.0, NOW, None, "queued"),
+        ("https://m.test/q1", "m.test", None, 2.0, NOW, None, "queued"),
+        ("https://m.test/ok1", "m.test", None, 1.0, NOW, None, "queued"),
+        ("https://m.test/ok2", "m.test", None, 0.5, NOW, None, "queued"),
+    ]
+    fr = _frontier_df(spark, rows)
+    robots = spark.createDataFrame(
+        [("m.test", "/p", 30.0), ("m.test", "/q", 30.0)],
+        schema=schemas.ROBOTS,
+    )
+    batch, fr2 = frontier.schedule_batch(
+        fr, robots, NOW, tick_seconds=60.0, batch_size=50
+    )
+    got = [r.url for r in batch.collect()]
+    # budget floor(60/30)=2, both ok urls scheduled exactly once
+    assert sorted(got) == ["https://m.test/ok1", "https://m.test/ok2"]
+    blocked = {
+        r.url for r in fr2.filter(F.col("state") == "blocked").collect()
+    }
+    assert blocked == {"https://m.test/p1", "https://m.test/q1"}
+    assert fr2.count() == 4  # no row multiplication

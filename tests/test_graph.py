@@ -94,3 +94,23 @@ def test_resolve_ids_null_for_unknown(spark):
     )
     got = {r["url"]: r["node_id"] for r in graph.resolve_ids(q, nodes).collect()}
     assert got["https://a.test/"] == 0 and got["https://zz.test/"] is None
+
+
+def test_nodes_from_empty_seed_list(spark):
+    """bootstrap with no seeds must yield an empty nodes frame, not a
+    schema-inference crash from createDataFrame([])."""
+    df = graph.nodes_from_urls(spark, [])
+    assert df.count() == 0
+    assert "node_id" in df.columns and "url" in df.columns
+
+
+def test_mint_default_added_ts_is_stable_across_actions(spark):
+    """The default added_ts must be a DRIVER-side timestamp: the
+    minted frame is acted on more than once (count, union, commit,
+    resume replay), and F.current_timestamp() stamps a different
+    value per query execution — added_ts feeds the arbiter's
+    promotion-wait cutoff, so a replay could flip a decision."""
+    df = graph.nodes_from_urls(spark, ["https://a.test/", "https://b.test/"])
+    a = sorted((r.url, r.added_ts) for r in df.collect())
+    b = sorted((r.url, r.added_ts) for r in df.collect())
+    assert a == b
