@@ -919,11 +919,11 @@ from new
 """,
     "p6_url_validity": f"""
 with urls as (select distinct user_id as uid, {_URL_E} as url from events)
-select uid, url, regexp_extract(url, '^https?://([^/]+)', 1) as host
+select uid, url, regexp_extract(url, '^https?://([^/?#]+)', 1) as host
 from urls
 where url is not null and length(url) <= 2048
-  and (url like 'https://%' and length(url) > 8
-       or url like 'http://%' and length(url) > 7)
+  and (url like 'https://%' or url like 'http://%')
+  and regexp_extract(url, '^https?://([^/?#]+)', 1) <> ''
 """,
     # regenerates q_robots_parse's fixed one-group structure
     "robots_parse": """
@@ -961,7 +961,7 @@ with rules(host, allow, pattern) as (values
   from m),
  base as (
   select url,
-    regexp_extract(url, '^https?://([^/]+)', 1) as host,
+    regexp_extract(url, '^https?://([^/?#]+)', 1) as host,
     case when regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*', '') = ''
          then '/' else regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*', '')
     end as path

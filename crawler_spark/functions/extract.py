@@ -49,8 +49,16 @@ def _links_one(html: bytes | None, url: str | None) -> list[str]:
 def _text_one(html: bytes | None) -> str | None:
     if html is None:
         return None
-    paras = _P_RE.findall(html)
-    return "\n".join(p.decode("utf-8") for p in paras)
+    out = []
+    for p in _P_RE.findall(html):
+        try:
+            out.append(p.decode("utf-8"))
+        except UnicodeDecodeError:
+            # same skip rule as _links_one: one undecodable paragraph
+            # (latin-1 bytes, truncated multibyte) must not kill the
+            # whole task — real WARC html is not guaranteed utf-8
+            continue
+    return "\n".join(out)
 
 
 @F.pandas_udf(ArrayType(StringType()))
@@ -71,20 +79,27 @@ MAX_URL_LEN = 2048
 
 def is_valid_url(col):
     """Column predicate: scheme allowlist + non-empty host + length cap
-    (role of nostr.IsValidPublicKey in resolveIDs)."""
+    (role of nostr.IsValidPublicKey in resolveIDs). Non-empty host is
+    ENFORCED via url_host, not just length ('https:///path' is longer
+    than its scheme but has no authority — it would land in the ''
+    politeness bucket and match no robots host). Schemes are matched
+    case-sensitively by design: the engine does not canonicalize by
+    default, and admitting 'HTTP://Ex.COM' raw would split one host
+    across politeness buckets."""
     return (
         col.isNotNull()
         & (F.length(col) <= MAX_URL_LEN)
-        & (
-            col.startswith(_SCHEMES[0]) & (F.length(col) > len(_SCHEMES[0]))
-            | col.startswith(_SCHEMES[1]) & (F.length(col) > len(_SCHEMES[1]))
-        )
+        & (col.startswith(_SCHEMES[0]) | col.startswith(_SCHEMES[1]))
+        & (url_host(col) != "")
     )
 
 
 def url_host(col):
-    """Host component of a url (for politeness bucketing / salting)."""
-    return F.regexp_extract(col, r"^https?://([^/]+)", 1)
+    """Host component of a url (for politeness bucketing / salting).
+    The authority ends at '/', '?' or '#': 'https://a.com?p=2' must
+    bucket as 'a.com', not 'a.com?p=2' (which would bypass per-host
+    rate limits and miss the robots host join)."""
+    return F.regexp_extract(col, r"^https?://([^/?#]+)", 1)
 
 
 def canonical_url(col) -> "F.Column":

@@ -89,7 +89,11 @@ def walks_needed(length: int, alpha: float) -> int:
 
 def expected_distance(total_walks: int, total_nodes: int, active_nodes: int) -> float:
     """A9 MC error model (reference tests/e2e/e2e_test.go:206-214)."""
-    return 0.05 * math.sqrt(2_000_000 / total_walks) * (total_nodes / max(active_nodes, 1))
+    return (
+        0.05
+        * math.sqrt(2_000_000 / max(total_walks, 1))
+        * (total_nodes / max(active_nodes, 1))
+    )
 
 
 def sample_walks_visiting(
@@ -105,7 +109,13 @@ def sample_walks_visiting(
     ).filter(F.col("node_id").isin(node_ids))
     if limit < 0:
         return v
-    per_node = max(limit // max(len(node_ids), 1), 1)
+    # honor 'up to limit': no floor at 1 — with limit < len(nodes)
+    # the even split is 0 per node (empty sample; callers fall back
+    # to live generation), and limit=0 must select nothing. The old
+    # max(..., 1) floor returned up to len(nodes) rows for any limit.
+    per_node = limit // max(len(node_ids), 1)
+    if per_node == 0:
+        return v.limit(0)
     w = Window.partitionBy("node_id").orderBy(F.xxhash64(F.lit(seed), "walk_id"))
     return (
         v.withColumn("_rn", F.row_number().over(w))

@@ -239,7 +239,10 @@ def generate_walks(
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
     if strategy == "auto":
-        n_edges = edges.count()
+        # a prebuilt csr answers the size question driver-side — the
+        # looping-caller pattern must not pay an edge-table scan per
+        # call just to pick a strategy
+        n_edges = len(csr.targets) if csr is not None else edges.count()
         # beyond the broadcast limit, bucketed (host-locality cogroup)
         # beats the per-step iterative join: half the shuffle bytes on
         # web-shaped graphs (BENCH/iterative_scale_r2.json)
@@ -619,14 +622,17 @@ def remove_walks(walks: DataFrame, walk_ids: DataFrame) -> DataFrame:
 
 def remove_walks_starting_at(walks: DataFrame, node_ids: DataFrame) -> DataFrame:
     """M9 walks.Remove (reference generate.go:207-234): drop walks that
-    ORIGINATE at the given nodes (element_at(path,1) == start).
+    ORIGINATE at the given nodes.
 
-    The condition is an extractable equi-key (expression == column),
-    so without a broadcast hint this still plans as a hash/sort-merge
-    anti-join — a mass demotion must not funnel through the driver."""
+    Joins on the start_id COLUMN (== path[0] by the generation
+    invariant): frontier.apply_arbiter derives its removed_walks
+    delta by the same start_id join, so the removed set and the delta
+    are consistent by construction. A plain column equi-key anti-join
+    — no broadcast hint, a mass demotion must not funnel through the
+    driver."""
     return walks.join(
-        node_ids.select(F.col("node_id").alias("_rm")),
-        F.element_at("path", 1) == F.col("_rm"),
+        node_ids.select(F.col("node_id").alias("start_id")),
+        "start_id",
         "left_anti",
     )
 

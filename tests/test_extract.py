@@ -98,3 +98,41 @@ def test_canonical_url_idempotent(spark):
         "once", extract.canonical_url(F.col("once")).alias("again")
     )
     assert twice.filter(F.col("once") != F.col("again")).count() == 0
+
+
+def test_url_host_stops_at_query_and_fragment(spark):
+    """The authority ends at '/', '?' or '#': a url with a query
+    right after the host must bucket under the bare host, or it
+    bypasses per-host rate limits and misses the robots host join."""
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "u": [
+                    "https://a.test?page=2",
+                    "https://a.test#frag",
+                    "https://a.test/p?page=2",
+                ]
+            }
+        )
+    )
+    got = [r[0] for r in df.select(extract.url_host(F.col("u"))).collect()]
+    assert got == ["a.test", "a.test", "a.test"]
+
+
+def test_is_valid_url_requires_nonempty_host(spark):
+    """'https:///path' is longer than its scheme but has NO authority
+    — it must be invalid, not land in the '' politeness bucket."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"u": ["https:///path", "http:///", "https://h.test"]})
+    )
+    got = [r[0] for r in df.select(extract.is_valid_url(F.col("u"))).collect()]
+    assert got == [False, False, True]
+
+
+def test_extract_text_skips_undecodable_paragraph(spark):
+    """A non-utf8 <p> (latin-1 bytes, truncated multibyte) must be
+    skipped like _links_one does — not raise and kill the task."""
+    html = "<p>ok</p>".encode() + b"<p>caf\xe9</p>" + "<p>two</p>".encode()
+    df = spark.createDataFrame(pd.DataFrame({"h": [html]}))
+    got = df.select(extract.extract_text(F.col("h"))).first()[0]
+    assert got == "ok\ntwo"

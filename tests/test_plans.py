@@ -104,13 +104,21 @@ def test_mint_node_ids_has_no_global_window(spark):
     assert "singlepartition" not in p1.lower()
 
 
-def test_delta_apply_broadcasts_removals(spark):
+def test_delta_apply_broadcasts_small_removals_at_runtime(spark):
+    """The removal anti-join carries NO forced broadcast hint — a
+    mass-churn epoch makes the removal set unbounded, the same hazard
+    remove_walks/apply_arbiter deliberately dropped — but the usual
+    delta-sized case must still end up broadcast, chosen by AQE at
+    runtime from the actual shuffle size."""
     edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
     deltas = spark.createDataFrame(
         [(0, [1], [], [2])],
         "node_id long, removed array<long>, common array<long>, added array<long>",
     )
-    p = _plan(graph.apply_deltas(edges, deltas))
+    out = graph.apply_deltas(edges, deltas)
+    assert sorted((r.src, r.dst) for r in out.collect()) == [(0, 2), (1, 2)]
+    p = _plan(out)
+    assert "hint" not in p.lower()
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
 
 

@@ -170,3 +170,25 @@ def test_fuzz_random_graph_invariants(spark):
         edges, (pairs.a == edges.src) & (pairs.b == edges.dst), "left_anti"
     )
     assert bad.count() == 0
+
+
+def test_sample_walks_visiting_honors_limit(spark):
+    """'up to limit split evenly' (W5, store.go:243-288): limit=0
+    selects NOTHING, and limit < len(nodes) gives an even split of 0
+    per node — the old floor at 1 returned up to len(nodes) rows for
+    any limit."""
+    fx = datagen.FIXTURES["triangle"]
+    walks = walks_gen.generate_walks(
+        spark, _edges_df(spark, fx), _starts_df(spark, fx),
+        walks_per_node=50, seed=1, strategy="broadcast",
+    ).localCheckpoint()
+    from crawler_spark import rank
+
+    assert rank.sample_walks_visiting(walks, [0, 1, 2], 0).count() == 0
+    assert rank.sample_walks_visiting(walks, [0, 1, 2], 2).count() == 0
+    got = rank.sample_walks_visiting(walks, [0, 1, 2], 6)
+    per = {r.node_id: r.n for r in got.groupBy("node_id").count()
+           .withColumnRenamed("count", "n").collect()}
+    assert all(v <= 2 for v in per.values()) and sum(per.values()) <= 6
+    # limit=-1 keeps the all-rows contract
+    assert rank.sample_walks_visiting(walks, [0, 1, 2], -1).count() > 0
