@@ -1260,7 +1260,7 @@ with base as (
   from cf_per_tok group by doc_id
 ), r as (
   select s.doc_id,
-    case when n_tokens < 5 then 'short'
+    case when coalesce(n_tokens, 0) < 5 then 'short'
          when coalesce(dlf, 0.0) > 0.3 or coalesce(dlcf, 0.0) > 0.2
               or coalesce(ttf, 0.0) > 0.2 then 'repetition'
          when quality < 0.5 then 'low_quality'
@@ -1330,8 +1330,8 @@ with media as (
   from documents where doc_id % 3 = 0
 )
 select media_id, width, height,
-       round(64 / width, 6) as scale_x,
-       round(64 / height, 6) as scale_y
+       round(64 / nullif(width, 0), 6) as scale_x,
+       round(64 / nullif(height, 0), 6) as scale_y
 from media
 """,
     "ann_cosine_topk": """

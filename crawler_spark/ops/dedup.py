@@ -63,7 +63,12 @@ def exact_dedup(
     1-split scan only happens when the corpus is tiny, and at scale
     the scan already yields >= parallelism splits. Measured: the
     added round-robin exchange costs ~0.4s of fixed latency at sf0.1
-    for zero win."""
+    for zero win.
+
+    NULL text: fingerprint(NULL) is NULL and the fp equi-join never
+    matches NULL keys, so NULL-text rows get NO output row — filter
+    or impute upstream (the engine drops them before dedup state,
+    engine._ingest_dedup_state)."""
     fps = docs.select(
         F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
     )
@@ -197,12 +202,22 @@ def lsh_candidate_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     k: int = 3,
+    release: list | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b) with doc_a < doc_b sharing >= 1 LSH band. Rows
     per band bucket join only within the bucket (banding theorem:
-    P[candidate] = 1-(1-J^r)^b with r = n_hashes/bands)."""
+    P[candidate] = 1-(1-J^r)^b with r = n_hashes/bands).
+
+    `release=<list>` persists the narrow band rows (they feed BOTH
+    self-join sides, and AQE does not reuse the exchange across
+    branches — see exact_dedup), so the shingle+sign text pass runs
+    once instead of twice; the caller unpersists after its one
+    downstream action."""
     sig = minhash_signatures(docs, id_col, text_col, n_hashes, k)
     band_rows = band_keys(sig, n_hashes, bands, id_col)
+    if release is not None:
+        band_rows = band_rows.persist()
+        release.append(band_rows)
     a = band_rows.select(F.col(id_col).alias("doc_a"), "band", "key")
     b = band_rows.select(F.col(id_col).alias("doc_b"), "band", "key")
     return (
@@ -220,6 +235,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    release: list | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with shingle-set Jaccard >=
     threshold, doc_a < doc_b. Exact: |A∩B| from a shingle equi-join,
@@ -230,8 +246,16 @@ def ngram_jaccard_pairs(
     |candidates| x doc length, never the raw shingle self-join (a
     common 3-gram like 'the' makes that quadratic/skewed at corpus
     scale; VERDICT r1). Without candidates the raw self-join remains
-    as the small-corpus / oracle form."""
+    as the small-corpus / oracle form.
+
+    `release=<list>` persists the shingle rows — they feed the sizes
+    agg AND both intersection sides, so the dominant Arrow shingling
+    pass runs once instead of three times (same contract as
+    exact_dedup); the caller unpersists after its one action."""
     sh = shingle_rows(docs, id_col, text_col, k)
+    if release is not None:
+        sh = sh.persist()
+        release.append(sh)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     if candidates is not None:
         cand = candidates.select("doc_a", "doc_b").distinct()
@@ -519,7 +543,19 @@ def connected_components(
     roots = stars.select(
         F.col("component_id").alias("node"), "component_id"
     ).distinct()
-    return stars.unionByName(roots)
+    out = stars.unionByName(roots)
+    # every-node contract: a node appearing ONLY in self-pairs (u==v,
+    # filtered before the star rounds) has no star edge — it is its
+    # own singleton component, not silently absent
+    all_nodes = (
+        pairs.select(F.col(a_col).cast("long").alias("node"))
+        .unionByName(pairs.select(F.col(b_col).cast("long").alias("node")))
+        .distinct()
+    )
+    singletons = all_nodes.join(out.select("node"), "node", "left_anti").select(
+        "node", F.col("node").alias("component_id")
+    )
+    return out.unionByName(singletons)
 
 
 def dedup_clusters(
@@ -531,6 +567,7 @@ def dedup_clusters(
     k: int = 3,
     threshold: float = 0.6,
     pairs: DataFrame | None = None,
+    release: list | None = None,
 ) -> DataFrame:
     """(doc_id, component_id, keeper_id, is_dup): the full corpus
     dedup pipeline — LSH banding proposes candidate pairs, exact
@@ -544,11 +581,19 @@ def dedup_clusters(
     `pairs` overrides the built-in LSH+Jaccard pipeline with a
     precomputed (doc_a, doc_b) near-dup relation (e.g. simhash or
     embedding pairs) — clustering composes with any pair source.
+
+    `release=<list>` threads the persist-and-release contract through
+    the built-in pipeline (band rows + shingle rows), cutting the
+    Arrow shingling passes over the corpus text from ~5 to 2; omit it
+    only for driver-owned contract queries that cannot release.
     """
     if pairs is None:
-        cand = lsh_candidate_pairs(docs, id_col, text_col, n_hashes, bands, k)
+        cand = lsh_candidate_pairs(
+            docs, id_col, text_col, n_hashes, bands, k, release=release
+        )
         pairs = ngram_jaccard_pairs(
-            docs, id_col, text_col, k, threshold, candidates=cand
+            docs, id_col, text_col, k, threshold, candidates=cand,
+            release=release,
         )
     cc = connected_components(pairs, "doc_a", "doc_b")
     base = (
@@ -602,7 +647,9 @@ def incremental_exact_dedup(
     broadcast the batch (the preserved side can't be the build side),
     so the corpus would shuffle; this decomposition keeps the corpus
     streamed/probed, never shuffled. Within-batch keepers come from
-    one map-side-combining agg (no window; see exact_dedup)."""
+    one map-side-combining agg (no window; see exact_dedup). NULL
+    text: as in exact_dedup, NULL-text rows get no output row —
+    filter upstream."""
     fps = new_docs.select(
         F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
     )
@@ -668,6 +715,10 @@ def incremental_lsh_pairs(
     )
     return (
         nb.join(cb, ["band", "key"])
+        # a re-crawled doc (same id re-admitted, the normal epoch
+        # flow) matches its OWN stored signature in every band — a
+        # doc is not a near-dup candidate of itself
+        .filter(F.col("new_id") != F.col("corpus_id"))
         .select("new_id", "corpus_id")
         .distinct()
     )
@@ -733,6 +784,7 @@ def winnow_candidate_pairs(
     max_df: int = 50,
     id_col: str = "doc_id",
     text_col: str = "text",
+    release: list | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, shared) pairs of documents sharing >= min_shared
     winnowed fingerprints — the Moss-style local-overlap candidate
@@ -745,8 +797,19 @@ def winnow_candidate_pairs(
     broadcasts into an anti join and the quadratic bucket blowup on
     universal fps never happens; the remaining self-join is bounded
     by max_df^2 per fingerprint, the same bucket-cap argument as the
-    LSH band join."""
+    LSH band join.
+
+    Materialization contract (same as exact_dedup's: the fps frame
+    feeds the stop-fp aggregation AND both self-join sides, and AQE
+    does not reuse the exchange across branches): `release=<list>`
+    persists the winnowed fingerprints — ONE md5-per-gram text pass
+    instead of three — and appends the persisted frame for the caller
+    to unpersist after its one downstream action; `release=None`
+    stays fully lazy (driver-owned contract queries)."""
     fps = winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+    if release is not None:
+        fps = fps.persist()
+        release.append(fps)
     stop = (
         fps.groupBy("fp")
         .agg(F.count("*").alias("df"))

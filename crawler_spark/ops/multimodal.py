@@ -255,7 +255,10 @@ def extract_features(
     """
 
     def run(batches):
-        buf: list[pd.DataFrame] = []
+        # yield per chunk: buffering every chunk until the end of the
+        # partition would hold the whole partition's features in
+        # worker memory, defeating the bounded-batch chunking and
+        # blocking downstream pipelining
         for pdf in batches:
             for start in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[start : start + batch_rows]
@@ -268,16 +271,13 @@ def extract_features(
                     )
                     f = np.pad(f, (0, max(0, feat_dim - len(f))))[:feat_dim]
                     feats.append(f.tolist())
-                buf.append(
-                    pd.DataFrame(
-                        {
-                            "media_id": chunk["media_id"].to_numpy(np.int64),
-                            "kind": chunk["kind"].to_numpy(),
-                            "feature": feats,
-                        }
-                    )
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"].to_numpy(np.int64),
+                        "kind": chunk["kind"].to_numpy(),
+                        "feature": feats,
+                    }
                 )
-        yield from buf
 
     return media.mapInPandas(run, schema=FEATURES)
 
@@ -307,10 +307,14 @@ def resize_plan(media: DataFrame, target: int = 64) -> DataFrame:
     """Image resize metadata (scale factors) as column math; the pixel
     work itself is a DECODERS kernel at deployment."""
     imgs = media.filter(F.col("kind") == "image")
+    # nullif: a malformed width/height of 0 yields a NULL scale for
+    # that row — under ANSI (the session default) a bare division
+    # would throw DIVIDE_BY_ZERO and kill the whole job for one bad
+    # metadata record
     return imgs.select(
         "media_id",
         "width",
         "height",
-        F.round(F.lit(target) / F.col("width"), 6).alias("scale_x"),
-        F.round(F.lit(target) / F.col("height"), 6).alias("scale_y"),
+        F.round(F.lit(target) / F.expr("nullif(width, 0)"), 6).alias("scale_x"),
+        F.round(F.lit(target) / F.expr("nullif(height, 0)"), 6).alias("scale_y"),
     )

@@ -17,7 +17,8 @@ from pyspark.sql import functions as F
 
 # language marker words (surrounded by spaces when matched) — a
 # classic stopword-profile n-gram heuristic; ties resolve by the
-# LANGS order. 'zh' is matched by CJK codepoints instead of words.
+# LANGS order. Only these four languages are profiled; anything
+# else scores 0 on every marker and returns 'und'.
 LANG_MARKERS: dict[str, list[str]] = {
     "en": [" the ", " and ", " of ", " is "],
     "de": [" der ", " die ", " und ", " ist "],
@@ -254,7 +255,12 @@ def corpus_filter(
         | (top_token_frac_expr(t) > max_top_token_frac)
     )
     reason = (
-        F.when(token_count(t) < min_tokens, F.lit("short"))
+        # coalesce: NULL text (the schema allows it) must classify as
+        # 'short' deterministically — under ANSI null-propagation the
+        # bare comparison skips every gate except lang, misattributing
+        # empty docs to language filtering (and the attribution would
+        # flip if ANSI were ever disabled)
+        F.when(F.coalesce(token_count(t), F.lit(0)) < min_tokens, F.lit("short"))
         .when(repetitive, F.lit("repetition"))
         .when(quality_score(t) < min_quality, F.lit("low_quality"))
         .when(~lang_id(t).isin(*langs), F.lit("lang"))

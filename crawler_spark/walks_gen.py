@@ -630,9 +630,11 @@ def remove_walks_starting_at(walks: DataFrame, node_ids: DataFrame) -> DataFrame
     are consistent by construction. A plain column equi-key anti-join
     — no broadcast hint, a mass demotion must not funnel through the
     driver."""
+    # expression join, not USING: a USING join moves the key column
+    # to the front, silently reordering the walks schema for callers
     return walks.join(
-        node_ids.select(F.col("node_id").alias("start_id")),
-        "start_id",
+        node_ids.select(F.col("node_id").alias("_rm")),
+        F.col("start_id") == F.col("_rm"),
         "left_anti",
     )
 

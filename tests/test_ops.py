@@ -601,3 +601,80 @@ def test_winnow_candidate_pairs_and_stop_fps(spark):
     # the boilerplate fps occur in 6 > max_df=3 docs -> stop-cut:
     # no pair among docs 0..5 survives
     assert not [p for p in pairs if p[0] < 6 and p[1] < 6]
+
+
+def test_incremental_lsh_no_self_pairs(spark):
+    """A re-crawled doc (same doc_id already in the corpus signature
+    table) matches its own stored signature in every band — it must
+    not come back as a near-dup candidate of itself."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "zeta eta theta")],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures(docs, n_hashes=8)
+    out = dedup.incremental_lsh_pairs(docs, sigs, n_hashes=8, bands=2)
+    assert out.filter(F.col("new_id") == F.col("corpus_id")).count() == 0
+
+
+def test_connected_components_keeps_self_pair_nodes(spark):
+    """'(node, component_id) for every node appearing in pairs': a
+    node present ONLY via a self-pair is its own singleton component,
+    not silently absent."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (7, 7)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.node, r.component_id)
+        for r in dedup.connected_components(pairs, "doc_a", "doc_b").collect()
+    }
+    assert got == {(1, 1), (2, 1), (7, 7)}
+
+
+def test_dedup_clusters_release_mode_matches(spark):
+    """The persist-and-release form (one banding pass + one shingle
+    pass) must produce the identical clustering, and the caller-side
+    unpersist must leave no cached blocks behind."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i % 4} body text shared {i % 4}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plain = sorted(
+        map(tuple, dedup.dedup_clusters(docs, threshold=0.5).collect())
+    )
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    rel = []
+    out = sorted(
+        map(
+            tuple,
+            dedup.dedup_clusters(docs, threshold=0.5, release=rel).collect(),
+        )
+    )
+    assert rel and out == plain
+    for df in rel:
+        df.unpersist(blocking=True)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before
+
+
+def test_corpus_filter_null_text_is_short(spark):
+    """NULL text (the schema allows it) must classify as 'short'
+    deterministically — under ANSI null-propagation every other gate
+    is skipped and empty docs were misattributed to 'lang'."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, "the quick brown fox and the lazy dog is here")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.reason for r in textstats.corpus_filter(docs).collect()}
+    assert got[1] == "short" and got[2] is None
+
+
+def test_resize_plan_zero_dims_yield_null_scale(spark):
+    """A malformed width/height of 0 must yield a NULL scale for that
+    row, not a DIVIDE_BY_ZERO that kills the whole job under ANSI."""
+    media = spark.createDataFrame(
+        [(1, "image", 0, 32), (2, "image", 64, 64)],
+        "media_id long, kind string, width int, height int",
+    )
+    got = {r.media_id: (r.scale_x, r.scale_y)
+           for r in multimodal.resize_plan(media).collect()}
+    assert got[1][0] is None and got[1][1] == 2.0
+    assert got[2] == (1.0, 1.0)
