@@ -182,6 +182,11 @@ def _graft_assignments(
         vis = counts.get(a, 0)
         p = len(added) / max(follows_count, 1)
         limits.append((a, int(p * vis + 0.5)))
+    max_lim = max((lim for _, lim in limits), default=0)
+    if max_lim == 0:
+        # every estimate rounded to zero — nothing to sample; skip the
+        # window pass entirely
+        return spark.createDataFrame([], "walk_id long, graft_node long")
     limits_df = spark.createDataFrame(limits, "node_id long, lim long")
     # walk_id tie-break: at 10^12 walks 64-bit hash collisions are
     # expected (birthday bound), and hash-only ordering would resolve
@@ -191,8 +196,15 @@ def _graft_assignments(
     w = Window.partitionBy("node_id").orderBy(
         F.xxhash64(F.lit(seed), F.lit(epoch), F.col("walk_id")), "walk_id"
     )
+    # literal max-limit pre-cap: the per-node `lim` arrives via a join,
+    # which a WindowGroupLimit rewrite can't see — the literal bound
+    # plans the PARTIAL pass below the node_id exchange, so a hub
+    # node's store-sized visit list forwards <= max_lim rows per map
+    # task instead of funnelling whole into one task's sort (exact:
+    # lim <= max_lim per node, same argument as ppr's per-member cap)
     sampled = (
         v.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.lit(int(max_lim)))
         .join(F.broadcast(limits_df), "node_id")
         .filter(F.col("_rn") <= F.col("lim"))
     )
@@ -398,7 +410,13 @@ def update_walks(
         grafts = _graft_assignments(
             walks, added_map, seed, epoch, visits=visits
         ).localCheckpoint(eager=True)
-        state = walks.join(grafts.hint("broadcast"), "walk_id", "left")
+        # no forced broadcast: a hub promotion's sample size is
+        # Σ round(|added|/follows · visits(node)) — an unbounded share
+        # of the store in the worst case, the same driver-OOM class
+        # remove_walks avoids hinting for. The eager checkpoint gives
+        # AQE exact stats, so the typical delta-sized sample still
+        # broadcasts at runtime.
+        state = walks.join(grafts, "walk_id", "left")
     else:
         state = walks.withColumn("graft_node", F.lit(None).cast("long"))
 

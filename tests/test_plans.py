@@ -143,3 +143,44 @@ def test_exact_dedup_no_window_and_release_shares_one_text_pass(spark):
     assert p.count("InMemoryTableScan") >= 2  # agg + join read the cache
     for f in release:
         f.unpersist()
+
+
+def test_graft_sample_is_group_limited_pre_shuffle(spark):
+    """Plan gate for the added-phase sample bound: the per-node
+    top-`lim` selection pre-caps at the literal max limit, which plans
+    as WindowGroupLimit with a PARTIAL pass BELOW the node_id exchange
+    — a hub node's store-sized visit list forwards at most max_lim
+    rows per map task instead of funnelling whole into one task's
+    sort (the joined per-node `lim` alone is invisible to the
+    WindowGroupLimit rewrite). Exact: lim <= max_lim per node."""
+    from crawler_spark import walks_update
+
+    walks = spark.createDataFrame(
+        [(i, 0, [0, 1]) for i in range(40)],
+        "walk_id long, start_id long, path array<long>",
+    )
+    out = walks_update._graft_assignments(
+        walks, {1: ([2], 2)}, seed=1, epoch=1
+    )
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in p and "Partial" in p
+    # lim = round(1/2 * 40) = 20 sampled walks
+    assert out.count() == 20
+
+
+def test_graft_sample_zero_limits_short_circuits(spark):
+    """Every estimate rounding to zero yields an empty sample with the
+    contract schema and NO window pass (the delta node is never
+    visited, so p*visits = 0)."""
+    from crawler_spark import walks_update
+
+    walks = spark.createDataFrame(
+        [(i, 0, [0, 1]) for i in range(10)],
+        "walk_id long, start_id long, path array<long>",
+    )
+    out = walks_update._graft_assignments(
+        walks, {5: ([6], 2)}, seed=1, epoch=1
+    )
+    assert out.columns == ["walk_id", "graft_node"]
+    assert out.count() == 0
+    assert "WindowGroupLimit" not in out._jdf.queryExecution().executedPlan().toString()
