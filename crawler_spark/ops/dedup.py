@@ -437,6 +437,7 @@ def connected_components(
     b_col: str = "doc_b",
     max_iters: int = 50,
     stats: dict | None = None,
+    release: list | None = None,
 ) -> DataFrame:
     """(node, component_id) for every node appearing in `pairs`;
     component_id = the minimum node id reachable through the pair
@@ -459,7 +460,20 @@ def connected_components(
     (wrong clusters are worse than a loud failure; raise the ceiling
     for pathological diameters). `stats`, when given, receives
     {"rounds": n, "converged": bool}.
+
+    Checkpoint storage is bounded at ONE live edge-set copy: each
+    round frees the previous round's checkpoint blocks as soon as the
+    new round is materialized (DataFrame.unpersist is a no-op for
+    checkpoints — without the explicit free, a billion-edge run holds
+    every round's edge set in the BlockManager until driver GC).
+    `release=<list>` receives a handle for the FINAL checkpoint (the
+    returned plan reads it); unpersist after the one downstream
+    action, exactly like the persisted frames the other release
+    contracts append. With `release=None` the final block is left to
+    GC (driver-owned contract queries).
     """
+    from ..session import CheckpointHandle, free_local_checkpoint
+
     edges = (
         pairs.select(
             F.col(a_col).cast("long").alias("u"),
@@ -505,7 +519,7 @@ def connected_components(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         smin = dir_.groupBy("u").agg(F.min("v").alias("m"))
-        edges = (
+        new_edges = (
             dir_.join(smin, "u")
             .select(
                 F.explode(
@@ -520,6 +534,11 @@ def connected_components(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        # the new round is materialized (eager) — the previous
+        # round's checkpoint blocks are dead; free them now instead
+        # of holding every round's edge set until driver GC
+        free_local_checkpoint(edges)
+        edges = new_edges
         cur = digest(edges)
         if cur == prev:
             converged = True
@@ -529,11 +548,14 @@ def connected_components(
         stats["rounds"] = rounds
         stats["converged"] = converged
     if not converged:
+        free_local_checkpoint(edges)
         raise RuntimeError(
             f"connected_components did not reach the star-forest "
             f"fixpoint in max_iters={max_iters} rounds — returning "
             f"would silently under-merge components; raise max_iters"
         )
+    if release is not None:
+        release.append(CheckpointHandle(edges))
 
     stars = edges.groupBy(F.col("u").alias("node")).agg(
         F.min("v").alias("component_id")
@@ -595,7 +617,7 @@ def dedup_clusters(
             docs, id_col, text_col, k, threshold, candidates=cand,
             release=release,
         )
-    cc = connected_components(pairs, "doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b", release=release)
     base = (
         docs.select(F.col(id_col), F.length(text_col).alias("_tl"))
         .join(cc, F.col(id_col) == F.col("node"), "left")

@@ -68,8 +68,11 @@ def _neighborhood_csr(
     one semi-join of the edge table against the (small, broadcast)
     frontier; the edge table itself is never collected in full unless
     the closure IS the graph."""
+    from .session import free_local_checkpoint
+
     known = roots.select("node_id").distinct().localCheckpoint(eager=True)
     frontier = known
+    prev_frontier = None  # last round's frontier ckpt, freed one round late
     n_known = known.count()
     while n_known < max_nodes:
         nxt = (
@@ -85,16 +88,28 @@ def _neighborhood_csr(
         )
         n_new = nxt.count()
         if n_new == 0:
+            free_local_checkpoint(nxt)
             break
-        known = known.unionByName(nxt).localCheckpoint(eager=True)
+        new_known = known.unionByName(nxt).localCheckpoint(eager=True)
+        # every consumer of the superseded checkpoints is materialized
+        # (nxt and new_known are eager) — free them now; each BFS hop
+        # otherwise leaves a closure-sized block behind until GC
+        free_local_checkpoint(known)
+        if prev_frontier is not None:
+            free_local_checkpoint(prev_frontier)
+        known = new_known
         n_known += n_new
-        frontier = nxt
+        prev_frontier = frontier = nxt
     sub = edges.join(
         known.withColumnRenamed("node_id", "src").hint("broadcast"),
         "src",
         "left_semi",
     )
-    return collect_csr(sub)
+    csr = collect_csr(sub)  # eager: collects to numpy
+    free_local_checkpoint(known)
+    if prev_frontier is not None:
+        free_local_checkpoint(prev_frontier)
+    return csr
 
 
 class _DrawBuf:

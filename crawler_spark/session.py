@@ -30,6 +30,46 @@ def pin_active_session(spark: SparkSession) -> None:
         pass  # e.g. Spark Connect: no JVM handle, manages this itself
 
 
+class CheckpointHandle:
+    """Releasable handle for an EAGER localCheckpoint — quacks like a
+    persisted DataFrame for the persist-and-release contract (exposes
+    `unpersist`). `DataFrame.unpersist()` is a cache-manager call and
+    a NO-OP for checkpoints (their blocks are registered directly on
+    the BlockManager), so iterative operators that truncate lineage
+    per round otherwise leak one edge-set-sized block PER ROUND until
+    driver GC + the async ContextCleaner get around to it — at a
+    billion-edge CC run that is dozens of live copies of the edge
+    set. The handle reads the checkpointed RDD id off the frame's
+    LogicalRDD plan node (exact — no global persistent-set diffing,
+    which would race with concurrent engine threads) and frees it on
+    demand. After release the frame is UNUSABLE (lineage was
+    truncated; the blocks are gone) — callers release only after
+    their last action over it."""
+
+    def __init__(self, df):
+        self._sc = df.sparkSession.sparkContext
+        try:
+            plan = df._jdf.queryExecution().analyzed()
+            self._rdd_id = int(plan.rdd().id())
+        except Exception:
+            self._rdd_id = None  # not a LogicalRDD (not checkpointed)
+
+    def unpersist(self, blocking: bool = False) -> None:
+        if self._rdd_id is not None:
+            try:
+                self._sc._jsc.sc().unpersistRDD(self._rdd_id, bool(blocking))
+            except Exception:
+                pass  # blocks already dropped / context shut down
+            self._rdd_id = None
+
+
+def free_local_checkpoint(df, blocking: bool = False) -> None:
+    """Immediately drop an eager localCheckpoint's storage blocks
+    (see CheckpointHandle). Safe only once no future action depends
+    on `df` or any plan built over it."""
+    CheckpointHandle(df).unpersist(blocking)
+
+
 def get_spark(
     app_name: str = "crawler_spark",
     master: str | None = None,
@@ -60,6 +100,14 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # localCheckpoint blocks are reclaimed by the ContextCleaner
+        # only after a DRIVER JVM GC notices the RDD is unreachable;
+        # the default periodic-GC interval (30min) lets a continuous
+        # crawl accumulate ~30min of superseded per-epoch state
+        # blocks in the BlockManager. Iterative operators free their
+        # rounds explicitly (session.free_local_checkpoint); this
+        # bounds everything else.
+        .config("spark.cleaner.periodicGC.interval", "5min")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

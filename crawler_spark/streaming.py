@@ -155,6 +155,12 @@ def polite_gate_stream(
             credit = min(
                 burst_cap, credit + max(now - last_ts, 0.0) / crawl_delay_s
             )
+            # the host clock never regresses: a late batch (now <
+            # last_ts) accrues nothing above, but STORING its older
+            # ts would let the next in-order batch re-accrue the
+            # interval already counted — over-admitting up to
+            # burst_cap fetches in one slot
+            now = max(now, last_ts)
             if q_urls is not None and len(q_urls):
                 pdf = pd.concat(
                     [

@@ -652,7 +652,39 @@ def test_dedup_clusters_release_mode_matches(spark):
     assert rel and out == plain
     for df in rel:
         df.unpersist(blocking=True)
+    # deterministic now: the release run nets ZERO blocks (CC frees
+    # its intermediate rounds explicitly and hands the final
+    # checkpoint back through `rel`); concurrent ContextCleaner
+    # activity can only SHRINK the count
     assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before
+
+
+def test_connected_components_bounds_checkpoint_storage(spark):
+    """A multi-round CC run must not hold every round's edge set in
+    the BlockManager: intermediate checkpoints are freed as soon as
+    the next round materializes (DataFrame.unpersist is a no-op for
+    checkpoints, and GC-based cleanup is unbounded in-flight). Net
+    leftover: at most the final star forest (exactly zero when the
+    caller releases it)."""
+    sc = spark.sparkContext
+    # a path graph forces several large/small-star rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "doc_a long, doc_b long"
+    )
+    before = sc._jsc.getPersistentRDDs().size()
+    stats: dict = {}
+    out = dedup.connected_components(chain, stats=stats).collect()
+    assert stats["rounds"] >= 3  # multi-round — the leak would be >= rounds
+    assert len(out) == 65 and {r.component_id for r in out} == {0}
+    assert sc._jsc.getPersistentRDDs().size() <= before + 1
+    # release mode: the final checkpoint comes back as a handle; after
+    # unpersist the run nets zero blocks
+    rel: list = []
+    out2 = dedup.connected_components(chain, release=rel).collect()
+    assert sorted(map(tuple, out2)) == sorted(map(tuple, out))
+    for h in rel:
+        h.unpersist(blocking=True)
+    assert sc._jsc.getPersistentRDDs().size() <= before + 1
 
 
 def test_corpus_filter_null_text_is_short(spark):

@@ -199,6 +199,23 @@ def test_neighborhood_csr_is_bounded(spark, monkeypatch):
     assert got == sorted(map(tuple, full.collect()))
 
 
+def test_neighborhood_csr_frees_bfs_checkpoints(spark):
+    """The BFS closure truncates lineage per hop with eager
+    localCheckpoints; a multi-hop closure must free them before
+    returning (the CSR is plain numpy — nothing references the
+    frames), otherwise every PPR call leaves hop-count many
+    closure-sized blocks in the BlockManager until driver GC."""
+    # 8-hop chain from root 0 forces >= 8 BFS rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src long, dst long"
+    )
+    roots = spark.createDataFrame([(0,)], "node_id long")
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    csr = ppr._neighborhood_csr(edges, roots)
+    assert len(csr.targets) == 8  # closure complete
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before
+
+
 def test_neighborhood_budget_still_normalizes(spark):
     """Past the node budget a live walk dangles and resets — the
     distribution must still be a distribution (documented divergence,

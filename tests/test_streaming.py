@@ -127,6 +127,57 @@ def test_polite_gate_stateful_stream(spark, tmp_path):
         }, urls
 
 
+def test_polite_gate_clock_never_regresses(spark, tmp_path):
+    """A LATE micro-batch (event time older than the host's stored
+    clock) accrues no credit — and must not rewind the stored clock
+    either: rewinding would let the next in-order batch re-accrue an
+    interval already counted and over-admit up to burst_cap fetches
+    in one slot. Replay: t=30s (fresh: 1 slot), t=0s (late: 0), t=40s
+    (10s after 30s at delay 10 -> exactly 1 more slot, NOT 4)."""
+    import pandas as pd
+
+    src_dir = str(tmp_path / "cand_late")
+    for b, sec in ((0, 30), (1, 0), (2, 40)):
+        rows = [
+            {
+                "url": f"https://late.test/b{b}p{i}",
+                "host": "late.test",
+                "priority": float(i),
+                "warc_ts": dt.datetime(2025, 6, 1, 0, 0, sec),
+            }
+            for i in range(6)
+        ]
+        spark.createDataFrame(pd.DataFrame(rows)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    cand = (
+        spark.readStream.schema(
+            "url string, host string, priority double, warc_ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = streaming.polite_gate_stream(cand, crawl_delay_s=10.0, burst_cap=4.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("polite_late")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select url from polite_late").collect()
+    # 1 (fresh) + 0 (late batch, no accrual) + 1 (10s elapsed) = 2;
+    # the rewind bug admits 4 in the third batch (total 5)
+    assert len(got) == 2, [r.url for r in got]
+    assert {r.url for r in got} == {
+        "https://late.test/b0p5",
+        "https://late.test/b1p5",
+    }
+
+
 def test_stream_schedule_matches_batch_scheduler(spark, tmp_path):
     """Politeness parity (reference: the bounded-channel scheduler,
     cmd/crawler.go:101-133): over identical candidate replays — one
