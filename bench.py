@@ -56,7 +56,10 @@ def main() -> None:
     # q1: walk generation + global pagerank (the core numeric loop).
     # Also yields the walks/s throughput number for BASELINE.md.
     def q_walks():
-        edges = contract._events_edges(spark, sf_dir)
+        # persist-and-release: the derived edge frame feeds the CSR
+        # collect, the start set, and the seed expansion — one events
+        # scan + JSON parse instead of one per consumer
+        edges = contract._events_edges(spark, sf_dir).persist()
         starts = edges.select(F.col("src").alias("node_id")).distinct()
         walks = walks_gen.generate_walks(
             spark, edges, starts, walks_per_node=100, seed=42,
@@ -65,6 +68,7 @@ def main() -> None:
         scores = rank.global_pagerank(walks)
         n = scores.count()
         extras["n_walk_starts"] = starts.count()
+        edges.unpersist()
         return n
 
     bench("q1_walks_pagerank", q_walks)

@@ -12,7 +12,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .walks_gen import total_visits, visit_counts
+from .walks_gen import visit_counts
 
 
 def global_pagerank(
@@ -32,16 +32,23 @@ def global_pagerank(
     WITHOUT re-deriving from the walk store — the reference's rank
     read is SCard lookups + one HGet (pagerank.go:17-44), never a
     store scan; the engine passes its incrementally-maintained state
-    here. Standalone callers omit them and pay the scan."""
-    if total is None:
-        total = total_visits(walks)
-    if total == 0:
-        raise ValueError("empty walk store (reference ErrEmptyRWS)")
+    here. Standalone callers omit them and pay ONE scan: the total
+    is derived from the (<= n_nodes rows) count frame, not by a
+    second total_visits pass over the store — totalVisits IS the sum
+    of the per-node visit counts."""
     counts = (
         visits.groupBy("node_id").agg(F.count("*").alias("visits"))
         if visits is not None
         else visit_counts(walks)
     )
+    if total is None:
+        # lazy checkpoint: the sum action below materializes the
+        # count frame once; the returned scores read the checkpoint
+        # instead of re-running the walk-store explode+agg lineage
+        counts = counts.localCheckpoint(eager=False)
+        total = int(counts.agg(F.sum("visits")).first()[0] or 0)
+    if total == 0:
+        raise ValueError("empty walk store (reference ErrEmptyRWS)")
     scores = counts.select(
         "node_id", (F.col("visits") / F.lit(float(total))).alias("rank")
     )

@@ -415,7 +415,12 @@ def _generate_iterative(
                 adj, "head", "left"
             ).select("walk_id", "start_id", "path", "follows", "alive")
             state = joined.mapInPandas(one_step, schema=state_schema)
-        state = state.localCheckpoint(eager=True)
+        # LAZY checkpoint + count = ONE job per block (the count's
+        # scan materializes every checkpoint partition); the eager
+        # form paid a second full job of pure scheduling latency per
+        # block — at avg walk length 1/(1-alpha) the loop is
+        # action-latency-bound, not compute-bound
+        state = state.localCheckpoint(eager=False)
         n_alive = state.filter("alive").count()
         finished_parts.append(
             state.filter(~F.col("alive")).select("walk_id", "start_id", "path")
@@ -566,7 +571,8 @@ def _generate_bucketed(
                 .cogroup(adj_b.groupBy("bucket"))
                 .applyInPandas(one_block, schema=state_schema)
             )
-        state = state.localCheckpoint(eager=True)
+        # lazy ckpt + count = one job per block (see _generate_broadcast)
+        state = state.localCheckpoint(eager=False)
         n_alive = state.filter("alive").count()
         finished_parts.append(
             state.filter(~F.col("alive")).select("walk_id", "start_id", "path")

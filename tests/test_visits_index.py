@@ -263,7 +263,6 @@ def test_pagerank_read_serves_from_maintained_index(spark, tmp_path, monkeypatch
     monkeypatch.setattr(walks_gen, "visits_of", _poisoned)
     monkeypatch.setattr(walks_gen, "total_visits", _poisoned)
     monkeypatch.setattr(rank, "visit_counts", _poisoned)
-    monkeypatch.setattr(rank, "total_visits", _poisoned)
     got = sorted(
         (int(r.node_id), float(r.rank)) for r in eng.pagerank().collect()
     )
