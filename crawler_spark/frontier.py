@@ -204,10 +204,22 @@ def schedule_batch(
         )
 
     w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url"))
+    # literal batch_size pre-cap: the per-host budget arrives as a
+    # COLUMN, which the WindowGroupLimit rewrite can't bound by — an
+    # unthrottled host (Crawl-delay 0 => budget 2^31) would funnel its
+    # whole queued set through one task's window sort. Per-host rank
+    # order equals the global batch order (priority DESC, url), so a
+    # row ranked past batch_size within its host has batch_size
+    # same-host rows ahead of it globally and can never enter the
+    # final top-batch_size — the literal cap is exact and plans the
+    # PARTIAL WindowGroupLimit pass below the host exchange.
     polite = (
         queued.withColumn("_budget", budget)
         .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= F.col("_budget"))
+        .filter(
+            (F.col("_rn") <= F.lit(int(batch_size)))
+            & (F.col("_rn") <= F.col("_budget"))
+        )
         .drop("_rn", "_budget", "disallow_prefix", "crawl_delay_s")
     )
     batch = polite.orderBy(F.desc("priority"), F.asc("url")).limit(batch_size)

@@ -184,3 +184,40 @@ def test_graft_sample_zero_limits_short_circuits(spark):
     assert out.columns == ["walk_id", "graft_node"]
     assert out.count() == 0
     assert "WindowGroupLimit" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_schedule_window_is_group_limited_pre_shuffle(spark):
+    """Plan gate for the scheduler's politeness window: the per-host
+    budget is a COLUMN (invisible to the WindowGroupLimit rewrite), so
+    the selection must carry the literal batch_size pre-cap — exact,
+    because per-host rank order equals the global batch order — which
+    plans a PARTIAL WindowGroupLimit below the host exchange. Without
+    it an unthrottled host (Crawl-delay 0 => budget 2^31) funnels its
+    whole queued set through one task's window sort."""
+    import datetime as dt
+
+    from crawler_spark import frontier
+
+    rows = [
+        (
+            f"https://h{i % 3}.test/p{i}",
+            f"h{i % 3}.test",
+            None,
+            float(i % 7),
+            dt.datetime(2025, 1, 1),
+            None,
+            "queued",
+        )
+        for i in range(200)
+    ]
+    fr = spark.createDataFrame(
+        rows,
+        "url string, host string, node_id long, priority double, "
+        "enqueued_ts timestamp, fetched_ts timestamp, state string",
+    )
+    batch, _ = frontier.schedule_batch(
+        fr, None, dt.datetime(2025, 1, 2), tick_seconds=600.0, batch_size=50
+    )
+    p = _plan(batch)
+    assert "WindowGroupLimit" in p and "Partial" in p
+    assert batch.count() == 50
