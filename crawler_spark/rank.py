@@ -123,7 +123,11 @@ def sample_walks_visiting(
     per_node = limit // max(len(node_ids), 1)
     if per_node == 0:
         return v.limit(0)
-    w = Window.partitionBy("node_id").orderBy(F.xxhash64(F.lit(seed), "walk_id"))
+    # walk_id tie-break: hash-only ordering is partition-dependent on
+    # 64-bit collisions (expected at 10^12 walks — birthday bound)
+    w = Window.partitionBy("node_id").orderBy(
+        F.xxhash64(F.lit(seed), "walk_id"), "walk_id"
+    )
     return (
         v.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= per_node)
