@@ -448,6 +448,7 @@ def q_text_stats(spark, sf_dir):
         textstats.bpe_token_estimate(t).alias("n_bpe_tokens"),
         textstats.lang_id(t).alias("lang_guess"),
         textstats.quality_score(t).alias("quality"),
+        textstats.stopword_ratio(t).alias("stopword_frac"),
         textstats.fingerprint(t).alias("fp"),
     )
 
@@ -1305,6 +1306,12 @@ select doc_id,
                    else len(regexp_split_to_array(trim(text), '\\s+')) end) end)
            between 3.0 and 12.0 then 1.0 else 0.3 end)
   + 0.2 * least(length(text) / 500.0, 1.0), 6) as quality,
+  round(case when len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                  x -> length(x) > 0)) = 0 then 0.0
+        else len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','were','be','that','this','it','on','for','with','as','at','by','from','not'], x))) * 1.0
+             / len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> length(x) > 0)) end, 6) as stopword_frac,
   md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) as fp
 from base
 """,

@@ -91,6 +91,32 @@ def mean_word_len(text: Column) -> Column:
     return F.when(tc == 0, F.lit(0.0)).otherwise(chars / tc).cast("double")
 
 
+# common-English function words for the stopword-mass signal —
+# deliberately small and frozen (the signal wants "is this running
+# prose", not linguistic completeness; Rae et al. 2021 A1.1 use the
+# same shape of check with a handful of stop words)
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
+    "was", "were", "be", "that", "this", "it", "on", "for", "with",
+    "as", "at", "by", "from", "not",
+)
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of tokens that are common English stopwords, 6dp
+    (0.0 for token-less text). Running prose sits well above ~0.1;
+    keyword-stuffed / boilerplate / non-text pages sit near 0 — the
+    third leg of the quality triple (length / punct / stopword
+    ratios). One pass of column expressions, no shuffle, no Python."""
+    toks = _tokens_arr(text)
+    n = F.size(toks)
+    ns = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    return (
+        F.round(F.when(n == 0, F.lit(0.0)).otherwise(ns / n), 6)
+        .cast("double")
+    )
+
+
 def quality_score(text: Column) -> Column:
     """Composite [0,1]-ish quality: alphabetic mass, sane word length
     (penalize <3 or >12 mean), low punctuation density, non-trivial

@@ -687,6 +687,30 @@ def test_connected_components_bounds_checkpoint_storage(spark):
     assert sc._jsc.getPersistentRDDs().size() <= before + 1
 
 
+def test_stopword_ratio(spark):
+    """Stopword mass: running prose scores high, keyword soup scores
+    0, token-less text scores 0.0 (not NULL/NaN)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "zzz qqq xxx"),
+            (3, "   "),
+            (4, "the and of"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.s
+        for r in docs.select(
+            "doc_id", textstats.stopword_ratio(F.col("text")).alias("s")
+        ).collect()
+    }
+    assert got[1] == 0.5  # the, on, the out of 6 tokens
+    assert got[2] == 0.0
+    assert got[3] == 0.0
+    assert got[4] == 1.0
+
+
 def test_corpus_filter_null_text_is_short(spark):
     """NULL text (the schema allows it) must classify as 'short'
     deterministically — under ANSI null-propagation every other gate
