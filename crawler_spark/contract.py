@@ -424,7 +424,8 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 
 def q_corpus_filter(spark, sf_dir):
     """Training-data admission gate: keep/drop + first failing
-    reason (short | low_quality | lang) per document."""
+    reason (short | repetition | low_quality | no_stopwords | lang)
+    per document."""
     return textstats.corpus_filter(
         _t(spark, sf_dir, "documents"),
         min_tokens=5,
@@ -1259,16 +1260,22 @@ with base as (
 ), cf_tokstats as (
   select doc_id, max(c) * 1.0 / sum(c) as ttf
   from cf_per_tok group by doc_id
+), cf_stop as (
+  select doc_id, count(*) as ns from cf_toks
+  where t in ('the','be','to','of','and','that','have','with')
+  group by doc_id
 ), r as (
   select s.doc_id,
     case when coalesce(n_tokens, 0) < 5 then 'short'
          when coalesce(dlf, 0.0) > 0.3 or coalesce(dlcf, 0.0) > 0.2
               or coalesce(ttf, 0.0) > 0.2 then 'repetition'
          when quality < 0.5 then 'low_quality'
-         when lang_guess not in ('en') then 'lang' end as reason
+         when lang_guess not in ('en') then 'lang'
+         when coalesce(ns, 0) < 2 then 'no_stopwords' end as reason
   from s
   left join cf_linestats using (doc_id)
   left join cf_tokstats using (doc_id)
+  left join cf_stop using (doc_id)
 )
 select doc_id, reason is null as keep, reason from r
 """,

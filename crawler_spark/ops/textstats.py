@@ -102,6 +102,19 @@ STOPWORDS = (
 )
 
 
+# Gopher's stop-word existence check uses this fixed 8-word list
+# (Rae et al. 2021 A1.1: drop documents containing fewer than 2 of
+# them — keyword lists, lorem-noise and non-prose pages fail it)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_stopword_count(text: Column) -> Column:
+    """How many tokens are Gopher stop words (with multiplicity) —
+    the admission gate needs only the >= 2 comparison."""
+    toks = _tokens_arr(text)
+    return F.size(F.filter(toks, lambda x: x.isin(*GOPHER_STOPWORDS)))
+
+
 def stopword_ratio(text: Column) -> Column:
     """Fraction of tokens that are common English stopwords, 6dp
     (0.0 for token-less text). Running prose sits well above ~0.1;
@@ -260,6 +273,7 @@ def corpus_filter(
     max_dup_line_frac: float = 0.3,
     max_dup_line_char_frac: float = 0.2,
     max_top_token_frac: float = 0.2,
+    min_stopwords: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> "DataFrame":
@@ -267,13 +281,16 @@ def corpus_filter(
     drop too-short documents, repetitive/boilerplate documents
     (Gopher repetition thresholds, Rae et al. 2021 Appendix A1.1 —
     the reason these filters exist in every web-corpus pipeline),
-    low-quality documents, and languages outside the target set,
-    recording the FIRST failing check ('short' | 'repetition' |
-    'low_quality' | 'lang', null when kept) so drop-rate dashboards
-    can attribute losses. Pure column expressions over the ONE text
-    pass (codegen; all the scores — including the repetition signals,
-    expressed per-doc with higher-order array functions — share the
-    scan; no shuffle anywhere)."""
+    low-quality documents, non-prose documents failing Gopher's
+    stop-word existence check (fewer than `min_stopwords` of the
+    fixed 8-word list — keyword soup and navigation pages), and
+    languages outside the target set, recording the FIRST failing
+    check ('short' | 'repetition' | 'low_quality' | 'no_stopwords' |
+    'lang', null when kept) so drop-rate dashboards can attribute
+    losses. Pure column expressions over the ONE text pass (codegen;
+    all the scores — including the repetition signals, expressed
+    per-doc with higher-order array functions — share the scan; no
+    shuffle anywhere)."""
     t = F.col(text_col)
     repetitive = (
         (dup_line_frac_expr(t) > max_dup_line_frac)
@@ -290,6 +307,13 @@ def corpus_filter(
         .when(repetitive, F.lit("repetition"))
         .when(quality_score(t) < min_quality, F.lit("low_quality"))
         .when(~lang_id(t).isin(*langs), F.lit("lang"))
+        # after the language gate: any non-English doc trivially
+        # lacks ENGLISH stop words — 'lang' is the useful attribution
+        # there; 'no_stopwords' is for in-language keyword soup
+        .when(
+            F.coalesce(gopher_stopword_count(t), F.lit(0)) < min_stopwords,
+            F.lit("no_stopwords"),
+        )
     )
     return docs.select(
         F.col(id_col),

@@ -442,6 +442,10 @@ def test_corpus_filter_reasons(spark):
             (5, "\n".join(["click here for the best deals today"] * 6)),
             # one token dominating: top_token_frac 6/11 >> 0.2
             (6, "buy buy buy buy buy buy the and is of now"),
+            # English by marker ('is') but fails Gopher's stop-word
+            # existence check: 0 of the 8 stop words, min is 2
+            (7, "here is one example where is appears twice but "
+                "nothing else matters today"),
         ],
         "doc_id long, text string",
     )
@@ -455,6 +459,7 @@ def test_corpus_filter_reasons(spark):
     assert got[4] == (False, "lang")
     assert got[5] == (False, "repetition")
     assert got[6] == (False, "repetition")
+    assert got[7] == (False, "no_stopwords")
 
 
 def test_connected_components_truncation_raises(spark):
