@@ -603,6 +603,19 @@ def q_embedding_near_dup(spark, sf_dir):
     return dedup.embedding_near_dup_pairs(emb, threshold=0.35)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) semantic dedup: k-means cells +
+    within-cell cosine pairs + per-group keeper (lowest cosine to the
+    cell centroid) — rows-only: the k-means training is iterative and
+    hash-seeded, not SQL-expressible; the semantic gate is the
+    planted-cluster pytest (test_ops.py) with a brute-force equality
+    check restricted to co-located cells. Threshold matches
+    embedding_near_dup's 0.35 (the synthetic embeddings are
+    near-orthogonal) so the duplicate branch is exercised."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup(emb, n_cells=16, threshold=0.35, seed=42)
+
+
 # ---------------- rows-only (non-SQL-expressible) ----------------
 
 
@@ -689,6 +702,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_decode_features": q_mm_decode_features,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
+    "semantic_dedup": q_semantic_dedup,
     "mc_pagerank": q_mc_pagerank,
     "ppr_source0": q_ppr_source0,
     "ppr_many_sources": q_ppr_many_sources,

@@ -431,6 +431,159 @@ def embedding_near_dup_pairs(
     )
 
 
+def _within_cell_pairs(
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """(id_a, id_b, cos) with id_a < id_b over an already
+    cell-assigned frame — the self-join is keyed on `cell`, so the
+    pair space is sum(|cell|^2), never |corpus|^2."""
+    from .similarity import cosine_expr
+
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), "cell", F.col(vec_col).alias("va")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), "cell", F.col(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = 2,
+    centroids: DataFrame | None = None,
+    release: list | None = None,
+) -> DataFrame:
+    """(id_a, id_b, cos): SemDeDup-style semantic near-duplicate
+    CANDIDATE pairs (Abbas et al., "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication", 2023): k-means the
+    embedding space into cells, then compare pairs ONLY within a
+    cell. Two embeddings are semantic duplicates when their cosine
+    >= threshold; by construction no pair crosses a cell boundary —
+    exactly the published semantics, which trades the O(N^2) brute
+    relation (embedding_near_dup_pairs, the labeled small-corpus
+    baseline) for O(sum |cell|^2).
+
+    Scale shape: training is kmeans_centroids (one corpus scan per
+    Lloyd round, zero shuffles); assignment is assign_cells (one
+    map-side Arrow matmul, zero shuffles); the only shuffle is the
+    cell-keyed self-join. The skew bound is the largest cell —
+    `n_cells` is the knob (SemDeDup uses ~sqrt(N)-ish cluster counts
+    at web scale), and a trained `centroids` table can be persisted
+    and reused across crawl epochs exactly like the IVF index
+    (train once, serve many; see ivf_topk).
+
+    `release=<list>`: persist the assigned (id, cell, vec) frame —
+    it feeds BOTH sides of the self-join, so the lazy form pays the
+    assignment matmul twice. `release=None` stays fully lazy for
+    driver-owned contract queries. NULL embeddings are excluded (a
+    NULL vector has no cell)."""
+    from .similarity import assign_cells, kmeans_centroids
+
+    vecs = emb.filter(F.col(vec_col).isNotNull())
+    cent = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(
+            vecs, n_cells, n_iters=n_iters, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+    )
+    assigned = assign_cells(vecs, cent, id_col, vec_col)
+    if release is not None:
+        assigned = assigned.persist()
+        release.append(assigned)
+    return _within_cell_pairs(assigned, id_col, vec_col, threshold)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = 2,
+    centroids: DataFrame | None = None,
+    release: list | None = None,
+) -> DataFrame:
+    """(vec_id, component_id, keeper_id, is_dup): the full SemDeDup
+    pipeline — within-cell cosine pairs (semantic_dedup_pairs),
+    connected components to close the duplicate relation transitively
+    within a cell, and ONE embedding kept per duplicate group: the
+    member with the LOWEST cosine to its cell centroid (Abbas et
+    al.'s keeper rule — the group's least-typical example preserves
+    the most diversity), ties to the smallest id. Every input row
+    with a non-NULL vector gets an output row; singletons are their
+    own component and keeper.
+
+    Components never span cells (pairs are within-cell by
+    construction), so the keeper argmin is well-defined against one
+    centroid. Keeper selection is a min_by aggregation, not a window
+    — a giant near-duplicate group (the boilerplate-embedding case)
+    must not funnel one task."""
+    from .similarity import assign_cells, cosine_expr, kmeans_centroids
+
+    vecs = emb.filter(F.col(vec_col).isNotNull())
+    cent = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(
+            vecs, n_cells, n_iters=n_iters, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+    )
+    assigned = assign_cells(vecs, cent, id_col, vec_col)
+    if release is not None:
+        assigned = assigned.persist()
+        release.append(assigned)
+    pairs = _within_cell_pairs(assigned, id_col, vec_col, threshold)
+    cc = connected_components(pairs, "id_a", "id_b", release=release)
+    scored = (
+        assigned.join(F.broadcast(cent), "cell")
+        .select(
+            F.col(id_col),
+            cosine_expr(F.col(vec_col), F.col("centroid")).alias("_cos_c"),
+        )
+    )
+    base = (
+        scored.join(cc, F.col(id_col) == F.col("node"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component_id", F.col(id_col)).alias("component_id"),
+            "_cos_c",
+        )
+    )
+    keepers = base.groupBy("component_id").agg(
+        F.min_by(
+            F.col(id_col), F.struct(F.col("_cos_c"), F.col(id_col))
+        ).alias("keeper_id")
+    )
+    return (
+        base.join(keepers, "component_id")
+        .select(
+            F.col(id_col),
+            "component_id",
+            "keeper_id",
+            (F.col(id_col) != F.col("keeper_id")).alias("is_dup"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

@@ -258,6 +258,60 @@ def kmeans_centroids(
     )
 
 
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, vec): every vector assigned to its nearest centroid
+    — ONE Arrow matmul per partition against the broadcast (cell,
+    centroid) matrix, zero shuffles (the same map-side shape as
+    kmeans_centroids' partials). The previous inline form in ivf_topk
+    was a |corpus| x n_cells crossJoin + full-corpus row_number
+    window that exploded and SHUFFLED the whole store on every call.
+    Tie semantics mirror that retired window (cos rounded to 6dp
+    DESC, cell ASC): round before argmax; argmax returns the first —
+    smallest cell — maximum. Shared by ivf_topk (probe serving) and
+    dedup.semantic_dedup (within-cell pair generation)."""
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    spark = corpus.sparkSession
+    cent_rows = centroids.orderBy("cell").collect()
+    cell_ids = np.array([int(r["cell"]) for r in cent_rows], dtype=np.int32)
+    cmat = np.stack(
+        [np.asarray(r["centroid"], dtype=np.float64) for r in cent_rows]
+    )
+    cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+    bc_cent = spark.sparkContext.broadcast((cell_ids, cmat))
+    src = corpus.select(F.col(id_col), F.col(vec_col))
+    a_schema = StructType(
+        [src.schema[id_col], StructField("cell", IntegerType()),
+         src.schema[vec_col]]
+    )
+
+    def assign(batches):
+        cells_, cm = bc_cent.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray(
+                np.stack(pdf[vec_col].to_numpy()), dtype=np.float64
+            )
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = np.round(mat @ cm.T, 6)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cell": cells_[np.argmax(sims, axis=1)],
+                    vec_col: pdf[vec_col],
+                }
+            )
+
+    return src.mapInPandas(assign, schema=a_schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -289,48 +343,9 @@ def ivf_topk(
             id_col=id_col, vec_col=vec_col,
         )
     )
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("cv"))
-    # map-side argmax assignment against the broadcast centroid
-    # matrix: the previous |corpus| x n_cells crossJoin + full-corpus
-    # row_number window exploded and SHUFFLED the whole store on
-    # every call — even when a trained centroid table was reused, a
-    # 100-row query batch paid a training-round's cost. One Arrow
-    # matmul per partition, zero shuffles (the same shape as
-    # kmeans_centroids' partials). Tie semantics mirror the old
-    # window (cos rounded to 6dp DESC, cell ASC): round before
-    # argmax; argmax returns the first — smallest cell — maximum.
-    import pandas as pd
-    from pyspark.sql.types import IntegerType, StructField, StructType
-
-    spark = corpus.sparkSession
-    cent_rows = cent.orderBy("cell").collect()
-    cell_ids = np.array([int(r["cell"]) for r in cent_rows], dtype=np.int32)
-    cmat = np.stack(
-        [np.asarray(r["centroid"], dtype=np.float64) for r in cent_rows]
+    assigned = assign_cells(corpus, cent, id_col, vec_col).select(
+        F.col(id_col), "cell", F.col(vec_col).alias("cv")
     )
-    cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
-    bc_cent = spark.sparkContext.broadcast((cell_ids, cmat))
-    a_schema = StructType(
-        [c.schema[id_col], StructField("cell", IntegerType()), c.schema["cv"]]
-    )
-
-    def assign(batches):
-        cells_, cm = bc_cent.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            mat = np.asarray(np.stack(pdf["cv"].to_numpy()), dtype=np.float64)
-            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            sims = np.round(mat @ cm.T, 6)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "cell": cells_[np.argmax(sims, axis=1)],
-                    "cv": pdf["cv"],
-                }
-            )
-
-    assigned = c.mapInPandas(assign, schema=a_schema)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     probe_w = Window.partitionBy("query_id").orderBy(F.desc("cos_c"), F.asc("cell"))
     probes = (

@@ -187,6 +187,74 @@ def test_ivf_topk_runs_and_overlaps(emb):
     assert len(exact & ivf) / len(exact) >= 0.5
 
 
+def test_semantic_dedup_pairs_equal_brute_within_cells(emb):
+    """SemDeDup pair semantics: the within-cell pair set equals the
+    brute-force cosine-threshold relation RESTRICTED to co-located
+    cells (the published semantics — no pair crosses a cell), and the
+    planted near-identical pair (0,1) survives. Plan gate: the pair
+    join is cell-keyed, never a cartesian/nested-loop product."""
+    df, _ = emb
+    cent = similarity.kmeans_centroids(df, 8, seed=5)
+    rel = []
+    pairs_df = dedup.semantic_dedup_pairs(
+        df, threshold=0.8, centroids=cent, release=rel
+    )
+    got = {(r.id_a, r.id_b) for r in pairs_df.collect()}
+    cells = {r.vec_id: r.cell for r in
+             similarity.assign_cells(df, cent).collect()}
+    brute = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_dup_pairs(df, threshold=0.8).collect()
+        if cells[r.id_a] == cells[r.id_b]
+    }
+    assert got == brute
+    assert (0, 1) in got
+    plan = pairs_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    for h in rel:
+        h.unpersist()
+
+
+def test_semantic_dedup_keeper_rule(emb):
+    """Full SemDeDup pipeline: every vector gets a row, duplicate
+    groups are transitively closed within a cell, exactly one member
+    per group is kept, and the keeper is the member with the LOWEST
+    cosine to its cell centroid (ties smallest id) — checked against
+    a numpy recomputation of every multi-member group."""
+    df, base = emb
+    cent = similarity.kmeans_centroids(df, 8, seed=5)
+    out = dedup.semantic_dedup(df, threshold=0.8, centroids=cent)
+    rows = {r.vec_id: r for r in out.collect()}
+    assert len(rows) == 40
+    assert rows[0].component_id == rows[1].component_id
+    assert rows[0].keeper_id == rows[1].keeper_id
+    # the planted pair's group keeps exactly one member — 0/1 are
+    # near-identical, so AT MOST one of them can be it
+    assert rows[0].is_dup or rows[1].is_dup
+    comps = {}
+    for r in rows.values():
+        comps.setdefault(r.component_id, []).append(r)
+    cells = {r.vec_id: r.cell for r in
+             similarity.assign_cells(df, cent).collect()}
+    cmat = {r.cell: np.asarray(r.centroid) for r in cent.collect()}
+    x = base.astype(np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    for comp, members in comps.items():
+        keepers = {m.keeper_id for m in members}
+        assert len(keepers) == 1
+        assert sum(not m.is_dup for m in members) == 1
+        member_cells = {cells[m.vec_id] for m in members}
+        assert len(member_cells) == 1  # components never span cells
+        c = cmat[member_cells.pop()]
+        c = c / np.linalg.norm(c)
+        cos_c = {
+            m.vec_id: round(float(x[m.vec_id] @ c), 6) for m in members
+        }
+        want = min(sorted(cos_c), key=lambda i: (cos_c[i], i))
+        assert keepers.pop() == want, (comp, cos_c)
+
+
 def test_multimodal_plumbing(spark):
     media = multimodal.synth_media(spark, 60, seed=3)
     assert media.count() == 60
