@@ -499,6 +499,52 @@ def q_text_repetition(spark, sf_dir):
     return textstats.repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def _pii_planted(spark, sf_dir):
+    """documents with deterministic PII planted by pure column math
+    (mirrored exactly in the oracle): the synthetic corpus contains
+    no emails/phones/IPs (verified), so the driver row would be
+    redaction-vacuous over the raw text — doc_id-derived plants make
+    every branch of the scrubber do real work on ~30% of rows."""
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" mail user"), s(did), F.lit("@ex"),
+                s(did % 5), F.lit(".org"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" tel 555-"),
+                F.lpad(s(did % 1000), 3, "0"),
+                F.lit("-"),
+                F.lpad(s((did * 7) % 10000), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit(" ip 10."), s(did % 256), F.lit(".0."),
+                s((did * 3) % 256),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", planted.alias("text")
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """C4/Dolma-style PII hygiene pass: detect + sequentially redact
+    emails, phone numbers, IPv4 addresses (ops/textstats.pii_scrub) —
+    pure regexp column expressions, zero shuffle."""
+    return textstats.pii_scrub(_pii_planted(spark, sf_dir))
+
+
 def q_dedup_incremental_exact(spark, sf_dir):
     """Batch-vs-corpus exact dedup (the per-crawl-batch pipeline
     shape): corpus = doc_id % 3 != 0 represented ONLY by its stored
@@ -697,6 +743,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_top_tokens": q_vocab_top_tokens,
     "corpus_filter": q_corpus_filter,
     "text_repetition": q_text_repetition,
+    "pii_scrub": q_pii_scrub,
     "mm_frame_plan": q_mm_frame_plan,
     "mm_resize_plan": q_mm_resize_plan,
     "mm_decode_features": q_mm_decode_features,
@@ -1070,6 +1117,38 @@ select d.doc_id,
 from documents d
 left join linestats l using (doc_id)
 left join tokstats k using (doc_id)
+""",
+    # the PII patterns are shared constants (textstats.PII_*_RE) —
+    # syntax restricted to what Java regex and RE2 read identically
+    "pii_scrub": f"""
+with aug as (
+  select doc_id,
+    text
+    || case when doc_id % 7 = 0 then ' mail user' || doc_id || '@ex'
+            || (doc_id % 5) || '.org' else '' end
+    || case when doc_id % 11 = 0 then ' tel 555-'
+            || lpad((doc_id % 1000)::varchar, 3, '0') || '-'
+            || lpad(((doc_id * 7) % 10000)::varchar, 4, '0') else '' end
+    || case when doc_id % 13 = 0 then ' ip 10.' || (doc_id % 256)
+            || '.0.' || ((doc_id * 3) % 256) else '' end
+    as text
+  from documents
+), s1 as (
+  select doc_id,
+    len(regexp_extract_all(text, '{textstats.PII_EMAIL_RE}')) as n_emails,
+    regexp_replace(text, '{textstats.PII_EMAIL_RE}', '<EMAIL>', 'g') as t1
+  from aug
+), s2 as (
+  select doc_id, n_emails,
+    len(regexp_extract_all(t1, '{textstats.PII_PHONE_RE}')) as n_phones,
+    regexp_replace(t1, '{textstats.PII_PHONE_RE}', '<PHONE>', 'g') as t2
+  from s1
+)
+select doc_id,
+  regexp_replace(t2, '{textstats.PII_IPV4_RE}', '<IP>', 'g') as clean_text,
+  n_emails, n_phones,
+  len(regexp_extract_all(t2, '{textstats.PII_IPV4_RE}')) as n_ipv4
+from s2
 """,
     "dedup_incremental_exact": """
 with fp as (select doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) f

@@ -357,3 +357,55 @@ def repetition_stats(
         F.round(dup_line_char_frac_expr(t), 6).alias("dup_line_char_frac"),
         F.round(top_token_frac_expr(t), 6).alias("top_token_frac"),
     )
+
+
+# ---------------------------------------------------------------
+# PII scrubbing (the C4/Dolma-style pre-training hygiene pass)
+# ---------------------------------------------------------------
+
+# Patterns restricted to syntax Java regex (Spark) and RE2 (DuckDB)
+# interpret IDENTICALLY: character classes, bounded quantifiers, \b
+# word boundaries — no backrefs, no lookaround (RE2 has neither).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def redact_pii(text: Column) -> Column:
+    """Sequentially redacted text: emails -> <EMAIL>, then phone
+    numbers -> <PHONE>, then IPv4 addresses -> <IP>. The order is
+    part of the semantics — each later pattern scans the output of
+    the earlier redaction, so x555-123-4567@corp.example is ONE
+    email, not an email plus an embedded phone number. (An email
+    host must end in an alphabetic TLD, so user@10.1.2.3 is NOT an
+    email — the address inside it is an IPv4 hit.)"""
+    t1 = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_PHONE_RE, "<PHONE>")
+    return F.regexp_replace(t2, PII_IPV4_RE, "<IP>")
+
+
+def pii_scrub(
+    docs: "DataFrame", id_col: str = "doc_id", text_col: str = "text"
+) -> "DataFrame":
+    """(id, clean_text, n_emails, n_phones, n_ipv4): detect and
+    redact the three classic PII shapes every web-corpus pipeline
+    scrubs before training (the C4 / Dolma hygiene pass): email
+    addresses, NANP-style phone numbers (ddd-ddd-dddd / ddd.ddd.dddd),
+    and IPv4 addresses. Counts are per redaction STAGE (each pattern
+    counted on the text the previous redactions produced), so the
+    counts always agree with the placeholders present in clean_text.
+
+    Scale shape: pure regexp column expressions — zero shuffle, no
+    Python, one codegen'd map over the text scan; at 100 TB this is
+    embarrassingly parallel and reads only (id, text)."""
+    t0 = F.col(text_col)
+    t1 = F.regexp_replace(t0, PII_EMAIL_RE, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_PHONE_RE, "<PHONE>")
+    t3 = F.regexp_replace(t2, PII_IPV4_RE, "<IP>")
+    return docs.select(
+        F.col(id_col),
+        t3.alias("clean_text"),
+        F.regexp_count(t0, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t1, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(t2, F.lit(PII_IPV4_RE)).cast("long").alias("n_ipv4"),
+    )

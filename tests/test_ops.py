@@ -614,6 +614,43 @@ def test_repetition_stats_planted(spark):
             r2.top_token_frac) == (0, 0.0, 0.0, 0.0)
 
 
+def test_pii_scrub_planted(spark):
+    """PII scrubbing against hand-built fixtures: each pattern
+    detected and redacted, sequential semantics (a phone-shaped
+    string inside an email local part is ONE email, not an email
+    plus a phone; an @IPv4 address is an IP hit, never an email —
+    the email host needs an alphabetic TLD), multiple hits per doc,
+    a no-PII doc untouched, and a shuffle-free plan."""
+    rows = [
+        (0, "reach me at jane.doe+spam@mail-host.example.org thanks"),
+        (1, "call 555-123-4567 or 555.987.6543 now"),
+        (2, "server at 10.0.42.7 and backup 192.168.1.254"),
+        (3, "admin@10.1.2.3 logged in"),  # no alpha TLD: 1 ip, 0 emails
+        (4, "no secrets here, just prose about 12 cats"),
+        (5, "e a@b.io p 555-000-1111 ip 8.8.8.8"),
+        (6, "mail x555-123-4567@corp.example today"),  # one EMAIL only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textstats.pii_scrub(df)
+    got = {r.doc_id: r for r in out.collect()}
+    assert (got[0].n_emails, got[0].n_phones, got[0].n_ipv4) == (1, 0, 0)
+    assert "<EMAIL>" in got[0].clean_text and "@" not in got[0].clean_text
+    assert (got[1].n_emails, got[1].n_phones, got[1].n_ipv4) == (0, 2, 0)
+    assert got[1].clean_text == "call <PHONE> or <PHONE> now"
+    assert (got[2].n_emails, got[2].n_phones, got[2].n_ipv4) == (0, 0, 2)
+    assert got[2].clean_text == "server at <IP> and backup <IP>"
+    assert (got[3].n_emails, got[3].n_phones, got[3].n_ipv4) == (0, 0, 1)
+    assert got[3].clean_text == "admin@<IP> logged in"
+    assert (got[4].n_emails, got[4].n_phones, got[4].n_ipv4) == (0, 0, 0)
+    assert got[4].clean_text == rows[4][1]
+    assert (got[5].n_emails, got[5].n_phones, got[5].n_ipv4) == (1, 1, 1)
+    assert got[5].clean_text == "e <EMAIL> p <PHONE> ip <IP>"
+    assert (got[6].n_emails, got[6].n_phones, got[6].n_ipv4) == (1, 0, 0)
+    assert got[6].clean_text == "mail <EMAIL> today"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure map over the scan
+
+
 def test_winnow_fingerprint_guarantee(spark):
     """Schleimer et al.'s winnowing guarantee: two documents sharing
     a substring of >= w + k - 1 normalized chars share at least one
