@@ -545,6 +545,35 @@ def q_pii_scrub(spark, sf_dir):
     return textstats.pii_scrub(_pii_planted(spark, sf_dir))
 
 
+def _multiline_docs(spark, sf_dir):
+    """documents re-shaped into a deterministic multi-line corpus
+    (mirrored exactly in the oracle): the synthetic text is one
+    line, so line-level ops would be vacuous on it — splitting on a
+    frequent token makes organic lines, and two planted footers make
+    guaranteed cross-document boilerplate."""
+    did = F.col("doc_id")
+    t = F.replace(F.col("text"), F.lit(" value "), F.lit("\n"))
+    planted = F.concat(
+        t,
+        F.when(
+            did % 4 == 0, F.lit("\nall rights reserved footer")
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 9 == 0, F.lit("\nsubscribe to our newsletter")
+        ).otherwise(F.lit("")),
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", planted.alias("text")
+    )
+
+
+def q_line_dedup(spark, sf_dir):
+    """CCNet/Dolma-style cross-document boilerplate-line removal
+    (ops/dedup.line_dedup): lines appearing in >= 2 distinct docs are
+    dropped everywhere, survivors rejoin in order."""
+    return dedup.line_dedup(_multiline_docs(spark, sf_dir), min_docs=2)
+
+
 def q_dedup_incremental_exact(spark, sf_dir):
     """Batch-vs-corpus exact dedup (the per-crawl-batch pipeline
     shape): corpus = doc_id % 3 != 0 represented ONLY by its stored
@@ -744,6 +773,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_filter": q_corpus_filter,
     "text_repetition": q_text_repetition,
     "pii_scrub": q_pii_scrub,
+    "line_dedup": q_line_dedup,
     "mm_frame_plan": q_mm_frame_plan,
     "mm_resize_plan": q_mm_resize_plan,
     "mm_decode_features": q_mm_decode_features,
@@ -1149,6 +1179,36 @@ select doc_id,
   n_emails, n_phones,
   len(regexp_extract_all(t2, '{textstats.PII_IPV4_RE}')) as n_ipv4
 from s2
+""",
+    "line_dedup": """
+with aug as (
+  select doc_id,
+    replace(text, ' value ', chr(10))
+    || case when doc_id % 4 = 0
+            then chr(10) || 'all rights reserved footer' else '' end
+    || case when doc_id % 9 = 0
+            then chr(10) || 'subscribe to our newsletter' else '' end
+    as text
+  from documents
+), l as (
+  select doc_id, i as pos, ls[i] as line
+  from (select doc_id, string_split(text, chr(10)) ls from aug) d,
+       lateral unnest(generate_series(1, len(ls))) as t(i)
+), boiler as (
+  select md5(trim(line)) as fp
+  from l where trim(line) != ''
+  group by 1 having count(distinct doc_id) >= 2
+), fl as (
+  select doc_id, pos, line,
+    (trim(line) != ''
+     and md5(trim(line)) in (select fp from boiler)) as dropped
+  from l
+)
+select doc_id,
+  coalesce(string_agg(line, chr(10) order by pos)
+           filter (where not dropped), '') as clean_text,
+  count(*) filter (where dropped) as n_lines_removed
+from fl group by doc_id
 """,
     "dedup_incremental_exact": """
 with fp as (select doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) f

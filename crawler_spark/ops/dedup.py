@@ -1001,3 +1001,60 @@ def winnow_candidate_pairs(
         .agg(F.count("*").alias("shared"))
         .where(F.col("shared") >= min_shared)
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, clean_text, n_lines_removed): cross-document line-level
+    dedup — the CCNet/Dolma boilerplate-removal pass. A non-blank
+    line whose trimmed content appears in >= min_docs DISTINCT
+    documents is site boilerplate (nav bars, cookie banners,
+    copyright footers) and every occurrence is dropped; surviving
+    lines rejoin in original order. Blank/whitespace-only lines are
+    document structure, never candidates, always kept. This is the
+    ACROSS-corpus complement of repetition_stats' within-document
+    signals: a line repeated 5x inside one doc is repetition, not
+    boilerplate.
+
+    Scale shape: two shuffles total — one partial-aggregated
+    groupBy(line-md5) to find the boilerplate set (map-side combine
+    collapses each doc's duplicate lines before the exchange via the
+    distinct-count partial), one groupBy(doc) to reassemble; the
+    boilerplate table is the join's build side (delta-sized relative
+    to the corpus — AQE broadcasts it when small). Per-doc state in
+    the reassembly is bounded by the doc's own line count. NULL text:
+    as in exact_dedup, NULL-text rows get no output row — filter
+    upstream."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("_t", F.trim(F.col("line")))
+    boiler = (
+        lines.filter(F.col("_t") != "")
+        .groupBy(F.md5("_t").alias("_fp"))
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_fp", F.lit(True).alias("_boiler"))
+    )
+    flagged = lines.join(
+        boiler, F.md5(F.col("_t")) == F.col("_fp"), "left"
+    )
+    dropped = F.coalesce(F.col("_boiler"), F.lit(False)) & (F.col("_t") != "")
+    return flagged.groupBy(F.col(id_col)).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~dropped, F.struct(F.col("pos"), F.col("line")))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.sum(dropped.cast("int")).cast("long").alias("n_lines_removed"),
+    )

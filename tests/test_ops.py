@@ -651,6 +651,39 @@ def test_pii_scrub_planted(spark):
     assert "Exchange" not in plan  # pure map over the scan
 
 
+def test_line_dedup_planted(spark):
+    """Cross-document boilerplate-line removal: a line shared by two
+    docs drops from BOTH (whitespace-trimmed match), a line repeated
+    only WITHIN one doc stays (that's repetition, not boilerplate),
+    blank lines are structure and survive, an all-boilerplate doc
+    stays present with empty clean_text, and line order is
+    preserved."""
+    rows = [
+        (0, "intro zero\nCOOKIE BANNER\nbody zero"),
+        (1, "intro one\n  COOKIE BANNER  \nbody one"),
+        (2, "solo line\nsolo line\nsolo line"),
+        (3, "alpha\n\nbeta"),
+        (4, "COOKIE BANNER"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.line_dedup(df, min_docs=2).collect()}
+    assert len(got) == 5
+    assert got[0].clean_text == "intro zero\nbody zero"
+    assert got[0].n_lines_removed == 1
+    # trimmed match: the padded variant drops too, as its padded self
+    assert got[1].clean_text == "intro one\nbody one"
+    assert got[1].n_lines_removed == 1
+    # within-doc repetition is NOT boilerplate (distinct-doc count)
+    assert got[2].clean_text == rows[2][1]
+    assert got[2].n_lines_removed == 0
+    # blank line kept as structure
+    assert got[3].clean_text == "alpha\n\nbeta"
+    assert got[3].n_lines_removed == 0
+    # all lines dropped: doc still present, empty text
+    assert got[4].clean_text == ""
+    assert got[4].n_lines_removed == 1
+
+
 def test_winnow_fingerprint_guarantee(spark):
     """Schleimer et al.'s winnowing guarantee: two documents sharing
     a substring of >= w + k - 1 normalized chars share at least one
