@@ -29,7 +29,7 @@ from . import graph, rank, seen, walks_gen
 from . import frontier as frontier_mod
 from .functions import extract as extract_mod
 from .functions.extract import is_valid_url, url_host
-from .ops import dedup, multimodal, similarity, textstats
+from .ops import dedup, multimodal, packing, similarity, textstats
 
 SPLIT_TS = "1998-06-01 00:00:00"
 
@@ -574,6 +574,16 @@ def q_line_dedup(spark, sf_dir):
     return dedup.line_dedup(_multiline_docs(spark, sf_dir), min_docs=2)
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing manifest
+    (ops/packing.pack_sequences): docs concatenated in id order, cut
+    every 128 whitespace tokens; one row per (sequence, doc) slice.
+    Two-phase parallel prefix sum — no global-order window."""
+    return packing.pack_sequences(
+        _t(spark, sf_dir, "documents"), budget=128, n_buckets=8
+    )
+
+
 def q_dedup_incremental_exact(spark, sf_dir):
     """Batch-vs-corpus exact dedup (the per-crawl-batch pipeline
     shape): corpus = doc_id % 3 != 0 represented ONLY by its stored
@@ -774,6 +784,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     "pii_scrub": q_pii_scrub,
     "line_dedup": q_line_dedup,
+    "pack_sequences": q_pack_sequences,
     "mm_frame_plan": q_mm_frame_plan,
     "mm_resize_plan": q_mm_resize_plan,
     "mm_decode_features": q_mm_decode_features,
@@ -1209,6 +1220,31 @@ select doc_id,
            filter (where not dropped), '') as clean_text,
   count(*) filter (where dropped) as n_lines_removed
 from fl group by doc_id
+""",
+    # DuckDB sum(BIGINT) is HUGEINT -> cast the running offset back
+    # to bigint or the driver's pandas hash drifts to float
+    "pack_sequences": """
+with c as (
+  select doc_id,
+    case when length(trim(text)) = 0 then 0
+         else len(regexp_split_to_array(trim(text), '\\s+')) end as n
+  from documents
+), p as (
+  select doc_id, n,
+    coalesce(sum(n) over (order by doc_id
+             rows between unbounded preceding and 1 preceding),
+             0)::bigint as st
+  from c where n > 0
+), spans as (
+  select doc_id, n, st,
+    st // 128 as s_first, (st + n - 1) // 128 as s_last
+  from p
+)
+select t.seq_id, s.doc_id,
+  greatest(0, t.seq_id * 128 - s.st) as doc_from,
+  least(s.n, (t.seq_id + 1) * 128 - s.st) as doc_to,
+  greatest(s.st - t.seq_id * 128, 0) as seq_pos
+from spans s, lateral unnest(generate_series(s_first, s_last)) as t(seq_id)
 """,
     "dedup_incremental_exact": """
 with fp as (select doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) f

@@ -7,7 +7,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from crawler_spark.ops import dedup, multimodal, similarity, textstats
+from crawler_spark.ops import dedup, multimodal, packing, similarity, textstats
 
 
 @pytest.fixture(scope="module")
@@ -682,6 +682,70 @@ def test_line_dedup_planted(spark):
     # all lines dropped: doc still present, empty text
     assert got[4].clean_text == ""
     assert got[4].n_lines_removed == 1
+
+
+def test_pack_sequences_hand_computed(spark):
+    """Concat-and-chunk packing against a hand-computed manifest:
+    token counts 4,10,13,0,3 at budget 10 — docs span cuts, the
+    empty doc vanishes, the tail sequence is short."""
+    rows = [
+        (0, "a b c d"),
+        (1, " ".join(["t"] * 10)),
+        (2, " ".join(["u"] * 13)),
+        (3, "   "),
+        (4, "x y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.seq_id, r.doc_id): (r.doc_from, r.doc_to, r.seq_pos)
+        for r in packing.pack_sequences(df, budget=10, n_buckets=4).collect()
+    }
+    want = {
+        (0, 0): (0, 4, 0),    # stream [0,4)
+        (0, 1): (0, 6, 4),    # doc1 [4,14) -> 6 tokens into seq 0
+        (1, 1): (6, 10, 0),   # remaining 4 open seq 1
+        (1, 2): (0, 6, 4),    # doc2 [14,27)
+        (2, 2): (6, 13, 0),   # ...continues into seq 2
+        (2, 4): (0, 3, 7),    # doc4 [27,30) tail
+    }
+    assert got == want  # doc 3 (blank) emits nothing
+
+
+def test_pack_sequences_invariants_and_bucket_invariance(spark):
+    """The two-phase prefix sum is bucket-count-invariant (the whole
+    point: the parallel scan equals the sequential one), every
+    sequence except the last holds exactly `budget` tokens, and the
+    slices of each doc tile [0, n) without gap or overlap."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join(["w"] * rng.randint(1, 40))) for i in range(0, 60, 2)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {
+        (r.seq_id, r.doc_id): (r.doc_from, r.doc_to, r.seq_pos)
+        for r in packing.pack_sequences(df, budget=16, n_buckets=1).collect()
+    }
+    b = {
+        (r.seq_id, r.doc_id): (r.doc_from, r.doc_to, r.seq_pos)
+        for r in packing.pack_sequences(df, budget=16, n_buckets=7).collect()
+    }
+    assert a == b and a
+    per_seq = {}
+    per_doc = {}
+    for (s, d), (f, t, p) in a.items():
+        per_seq[s] = per_seq.get(s, 0) + (t - f)
+        per_doc.setdefault(d, []).append((f, t))
+    last = max(per_seq)
+    for s, tok in per_seq.items():
+        assert tok == 16 or s == last
+    for d, (_, text) in zip((r[0] for r in rows), rows):
+        n = len(text.split())
+        ivs = sorted(per_doc[d])
+        assert ivs[0][0] == 0 and ivs[-1][1] == n
+        for (f1, t1), (f2, t2) in zip(ivs, ivs[1:]):
+            assert t1 == f2
 
 
 def test_winnow_fingerprint_guarantee(spark):
