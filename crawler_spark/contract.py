@@ -584,6 +584,35 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_pipeline_pack(spark, sf_dir):
+    """The COMPOSED training-data pipeline as one hash-checked chain:
+    multi-line corpus (planted boilerplate + per-doc-unique planted
+    emails) -> line_dedup (footers drop, unique contact lines
+    survive) -> redact_pii (those lines become <EMAIL>) -> length
+    gate (>= 10 tokens) -> pack_sequences (budget 64). Every stage
+    transforms real rows; the manifest hash pins the whole chain."""
+    did = F.col("doc_id")
+    aug = _multiline_docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit("\ncontact user"), did.cast("string"),
+                    F.lit("@ex.org"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    ld = dedup.line_dedup(aug, min_docs=2)
+    docs2 = ld.select(
+        "doc_id", textstats.redact_pii(F.col("clean_text")).alias("text")
+    )
+    kept = docs2.filter(textstats.token_count(F.col("text")) >= 10)
+    return packing.pack_sequences(kept, budget=64, n_buckets=8)
+
+
 def q_dedup_incremental_exact(spark, sf_dir):
     """Batch-vs-corpus exact dedup (the per-crawl-batch pipeline
     shape): corpus = doc_id % 3 != 0 represented ONLY by its stored
@@ -785,6 +814,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "line_dedup": q_line_dedup,
     "pack_sequences": q_pack_sequences,
+    "pipeline_pack": q_pipeline_pack,
     "mm_frame_plan": q_mm_frame_plan,
     "mm_resize_plan": q_mm_resize_plan,
     "mm_decode_features": q_mm_decode_features,
@@ -1245,6 +1275,69 @@ select t.seq_id, s.doc_id,
   least(s.n, (t.seq_id + 1) * 128 - s.st) as doc_to,
   greatest(s.st - t.seq_id * 128, 0) as seq_pos
 from spans s, lateral unnest(generate_series(s_first, s_last)) as t(seq_id)
+""",
+    # the composed chain: line_dedup -> redact_pii -> length gate ->
+    # pack_sequences, each CTE block the same SQL as the standalone
+    # entry (pp_-prefixed to avoid collisions)
+    "pipeline_pack": f"""
+with pp_aug as (
+  select doc_id,
+    replace(text, ' value ', chr(10))
+    || case when doc_id % 4 = 0
+            then chr(10) || 'all rights reserved footer' else '' end
+    || case when doc_id % 9 = 0
+            then chr(10) || 'subscribe to our newsletter' else '' end
+    || case when doc_id % 7 = 0
+            then chr(10) || 'contact user' || doc_id || '@ex.org' else '' end
+    as text
+  from documents
+), pp_l as (
+  select doc_id, i as pos, ls[i] as line
+  from (select doc_id, string_split(text, chr(10)) ls from pp_aug) d,
+       lateral unnest(generate_series(1, len(ls))) as t(i)
+), pp_boiler as (
+  select md5(trim(line)) as fp
+  from pp_l where trim(line) != ''
+  group by 1 having count(distinct doc_id) >= 2
+), pp_fl as (
+  select doc_id, pos, line,
+    (trim(line) != ''
+     and md5(trim(line)) in (select fp from pp_boiler)) as dropped
+  from pp_l
+), pp_clean as (
+  select doc_id,
+    coalesce(string_agg(line, chr(10) order by pos)
+             filter (where not dropped), '') as text
+  from pp_fl group by doc_id
+), pp_red as (
+  select doc_id,
+    regexp_replace(regexp_replace(regexp_replace(text,
+      '{textstats.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+      '{textstats.PII_PHONE_RE}', '<PHONE>', 'g'),
+      '{textstats.PII_IPV4_RE}', '<IP>', 'g') as text
+  from pp_clean
+), pp_c as (
+  select doc_id,
+    case when length(trim(text)) = 0 then 0
+         else len(regexp_split_to_array(trim(text), '\\s+')) end as n
+  from pp_red
+), pp_p as (
+  select doc_id, n,
+    coalesce(sum(n) over (order by doc_id
+             rows between unbounded preceding and 1 preceding),
+             0)::bigint as st
+  from pp_c where n >= 10
+), pp_spans as (
+  select doc_id, n, st,
+    st // 64 as s_first, (st + n - 1) // 64 as s_last
+  from pp_p
+)
+select t.seq_id, s.doc_id,
+  greatest(0, t.seq_id * 64 - s.st) as doc_from,
+  least(s.n, (t.seq_id + 1) * 64 - s.st) as doc_to,
+  greatest(s.st - t.seq_id * 64, 0) as seq_pos
+from pp_spans s,
+     lateral unnest(generate_series(s_first, s_last)) as t(seq_id)
 """,
     "dedup_incremental_exact": """
 with fp as (select doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) f
