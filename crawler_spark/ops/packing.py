@@ -57,8 +57,10 @@ def pack_sequences(
         F.col(id_col).cast("long").alias(id_col), n.alias("_n")
     ).filter(F.col("_n") > 0)
 
-    hi = counts.agg(F.max(id_col).alias("m")).first()["m"]
-    if hi is None:  # empty corpus
+    bounds = counts.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).first()
+    if bounds["lo"] is None:  # empty corpus
         return counts.select(
             F.col(id_col),
             F.col("_n").alias("seq_id"),
@@ -66,8 +68,25 @@ def pack_sequences(
             F.col("_n").alias("doc_to"),
             F.col("_n").alias("seq_pos"),
         ).select("seq_id", id_col, "doc_from", "doc_to", "seq_pos")
-    span = hi + 1
-    bkt = F.floor(F.col(id_col) * n_buckets / span).cast("int")
+    # order-preserving range bucketing that survives FULL-range
+    # int64 ids (hash-minted doc ids are arbitrary longs, negatives
+    # included): width is exact driver-side Python math, the per-row
+    # map runs in double — rounding is monotone, so bucket(id) stays
+    # non-decreasing in id, which is all packing order needs; the
+    # greatest/least clamps absorb the float edges of the extremes
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    width = max(1, (hi - lo) // n_buckets + 1)
+    bkt = (
+        F.least(
+            F.lit(n_buckets - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col(id_col).cast("double") - float(lo)) / float(width)
+                ).cast("int"),
+            ),
+        )
+    ).cast("int")
     counts = counts.withColumn("_bkt", bkt)
 
     totals = {

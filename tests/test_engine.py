@@ -330,8 +330,9 @@ def test_run_epoch_with_robots_rules(spark, tmp_path):
 def test_crawl_feeds_corpus_pipeline(spark, tmp_path):
     """End-to-end product story: crawl epochs produce fetched pages;
     their EXTRACTED text flows through the training-data layer —
-    admission filter, exact dedup, near-dup clustering — with every
-    fetched url accounted for exactly once."""
+    admission filter, exact dedup, near-dup clustering, PII scrub,
+    sequence packing — with every fetched url accounted for exactly
+    once and the packing manifest tiling every surviving doc."""
     import pyspark.sql.functions as Fn
 
     from crawler_spark.functions import extract
@@ -358,7 +359,9 @@ def test_crawl_feeds_corpus_pipeline(spark, tmp_path):
     # but every verdict must be internally consistent
     for v in verdicts:
         assert v.keep == (v.reason is None)
-        assert v.reason in (None, "short", "repetition", "low_quality", "lang")
+        assert v.reason in (
+            None, "short", "repetition", "low_quality", "no_stopwords", "lang"
+        )
     # dedup clustering over the crawled corpus: one row per doc,
     # keeper ids are members of their own component
     clusters = dedup_ops.dedup_clusters(corpus, threshold=0.9)
@@ -370,3 +373,25 @@ def test_crawl_feeds_corpus_pipeline(spark, tmp_path):
     for r in rows:
         assert r.keeper_id in by_comp[r.component_id]
         assert r.is_dup == (r.doc_id != r.keeper_id)
+    # the tail of the pipeline: keepers -> PII scrub -> packing
+    # manifest; every kept doc's tokens land in the stream exactly
+    # once (slices tile [0, n) in order)
+    from crawler_spark.ops import packing as packing_ops
+
+    keepers = clusters.filter(~Fn.col("is_dup")).select("doc_id")
+    scrubbed = packing_ops.pack_sequences(
+        textstats.pii_scrub(corpus.join(keepers, "doc_id")).select(
+            "doc_id", Fn.col("clean_text").alias("text")
+        ),
+        budget=8,
+        n_buckets=4,
+    )
+    slices = {}
+    for r in scrubbed.collect():
+        slices.setdefault(r.doc_id, []).append((r.doc_from, r.doc_to))
+    assert slices, "packing manifest must cover the kept corpus"
+    for ivs in slices.values():
+        ivs.sort()
+        assert ivs[0][0] == 0
+        for (f1, t1), (f2, t2) in zip(ivs, ivs[1:]):
+            assert t1 == f2

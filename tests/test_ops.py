@@ -748,6 +748,33 @@ def test_pack_sequences_invariants_and_bucket_invariance(spark):
             assert t1 == f2
 
 
+def test_pack_sequences_full_range_ids(spark):
+    """Hash-minted doc ids are arbitrary int64 (negatives and the
+    extremes included) — the range bucketing must neither overflow
+    (the original id * n_buckets form threw ARITHMETIC_OVERFLOW under
+    ANSI mode) nor reorder: the manifest must equal the single-bucket
+    (sequential) scan and tile every doc."""
+    ids = [-(2**62), -13, 0, 7, 2**61, 2**62 + 5]
+    rows = [(i, " ".join(["w"] * (3 + k))) for k, i in enumerate(ids)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {
+        (r.seq_id, r.doc_id): (r.doc_from, r.doc_to, r.seq_pos)
+        for r in packing.pack_sequences(df, budget=5, n_buckets=1).collect()
+    }
+    b = {
+        (r.seq_id, r.doc_id): (r.doc_from, r.doc_to, r.seq_pos)
+        for r in packing.pack_sequences(df, budget=5, n_buckets=4).collect()
+    }
+    assert a == b and a
+    per_doc = {}
+    for (s, d), (f, t, p) in b.items():
+        per_doc.setdefault(d, []).append((f, t))
+    assert set(per_doc) == set(ids)
+    for (i, text) in rows:
+        ivs = sorted(per_doc[i])
+        assert ivs[0][0] == 0 and ivs[-1][1] == len(text.split())
+
+
 def test_winnow_fingerprint_guarantee(spark):
     """Schleimer et al.'s winnowing guarantee: two documents sharing
     a substring of >= w + k - 1 normalized chars share at least one
