@@ -429,9 +429,10 @@ def test_lsh_pairs_stream_matches_batch(spark, tmp_path):
 
 
 def test_stateless_corpus_ops_compose_with_streams(spark, tmp_path):
-    """corpus_filter and canonical_url are pure column expressions, so
-    they run unchanged on a streaming DataFrame — the corpus admission
-    gate composes into an ingest stream with batch-identical output."""
+    """corpus_filter, redact_pii and canonical_url are pure column
+    expressions, so they run unchanged on a streaming DataFrame — the
+    corpus admission gate and the PII scrubber compose into an ingest
+    stream with batch-identical output."""
     import pandas as pd
 
     from crawler_spark.functions import extract
@@ -452,6 +453,8 @@ def test_stateless_corpus_ops_compose_with_streams(spark, tmp_path):
     stream = spark.readStream.schema("doc_id long, text string").parquet(src)
     out = textstats.corpus_filter(stream).withColumn(
         "canon", extract.canonical_url(F.lit("HTTP://Example.COM:80/x"))
+    ).withColumn(
+        "red", textstats.redact_pii(F.lit("ping a@b.io at 10.0.0.1"))
     )
     q = (
         out.writeStream.format("memory")
@@ -463,7 +466,7 @@ def test_stateless_corpus_ops_compose_with_streams(spark, tmp_path):
     )
     q.awaitTermination(120)
     got = {
-        r.doc_id: (r.keep, r.reason, r.canon)
+        r.doc_id: (r.keep, r.reason, r.canon, r.red)
         for r in spark.sql("select * from corpus_stream").collect()
     }
     batch = {
@@ -472,6 +475,7 @@ def test_stateless_corpus_ops_compose_with_streams(spark, tmp_path):
     }
     assert {k: v[:2] for k, v in got.items()} == batch
     assert all(v[2] == "http://example.com/x" for v in got.values())
+    assert all(v[3] == "ping <EMAIL> at <IP>" for v in got.values())
 
 
 def test_stream_arbiter_matches_batch_epochs(spark, tmp_path):
