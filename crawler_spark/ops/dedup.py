@@ -1008,6 +1008,7 @@ def line_dedup(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    release: list | None = None,
 ) -> DataFrame:
     """(id, clean_text, n_lines_removed): cross-document line-level
     dedup — the CCNet/Dolma boilerplate-removal pass. A non-blank
@@ -1028,11 +1029,22 @@ def line_dedup(
     to the corpus — AQE broadcasts it when small). Per-doc state in
     the reassembly is bounded by the doc's own line count. NULL text:
     as in exact_dedup, NULL-text rows get no output row — filter
-    upstream."""
+    upstream.
+
+    Materialization contract (the repo-wide persist-and-release
+    shape): the exploded lines frame feeds the boilerplate agg AND
+    the reassembly join, so the lazy form splits/explodes the text
+    twice. `release=<list>` persists the lines frame — one explode
+    pass — and appends it for the caller to unpersist after its one
+    downstream action; `release=None` stays lazy (driver-owned
+    contract queries)."""
     lines = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).withColumn("_t", F.trim(F.col("line")))
+    if release is not None:
+        lines = lines.persist()
+        release.append(lines)
     boiler = (
         lines.filter(F.col("_t") != "")
         .groupBy(F.md5("_t").alias("_fp"))

@@ -32,6 +32,7 @@ def pack_sequences(
     n_buckets: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    release: list | None = None,
 ) -> DataFrame:
     """(seq_id, doc_id, doc_from, doc_to, seq_pos): the packing
     manifest a training loader reads. Documents are concatenated in
@@ -47,15 +48,29 @@ def pack_sequences(
     final sequence is a remainder (may be short) — training loaders
     drop or pad it; the manifest reports it like any other.
 
-    Scale shape: one tiny max-id agg + one B-row bucket-total collect
-    (driver cumsum, broadcast back as a map literal; use a broadcast
-    join instead if n_buckets is ever huge), then a per-bucket window
-    cumsum (B parallel tasks) and a per-doc explode bounded by
-    ceil(n/budget)+1 rows. No global-order window anywhere."""
+    Scale shape: one tiny id-bounds agg + one B-row bucket-total
+    collect (driver cumsum, broadcast back as a map literal; use a
+    broadcast join instead if n_buckets is ever huge), then a
+    per-bucket window cumsum (B parallel tasks) and a per-doc explode
+    bounded by ceil(n/budget)+1 rows. No global-order window
+    anywhere.
+
+    Materialization contract (the repo-wide persist-and-release
+    shape): the (id, n) counts frame feeds the bounds agg, the bucket
+    totals, AND the final manifest plan — three text scans when lazy,
+    and AQE never reuses an exchange across subtrees here.
+    `release=<list>` persists the two-longs-per-doc counts frame (the
+    bounds agg materializes it; totals and the manifest read the
+    cache — ONE pass over the text) and appends the persisted frame
+    for the caller to unpersist after its downstream action;
+    `release=None` stays lazy (driver-owned contract queries)."""
     n = token_count(F.col(text_col)).cast("long")
     counts = docs.select(
         F.col(id_col).cast("long").alias(id_col), n.alias("_n")
     ).filter(F.col("_n") > 0)
+    if release is not None:
+        counts = counts.persist()
+        release.append(counts)
 
     bounds = counts.agg(
         F.min(id_col).alias("lo"), F.max(id_col).alias("hi")

@@ -748,6 +748,57 @@ def test_pack_sequences_invariants_and_bucket_invariance(spark):
             assert t1 == f2
 
 
+def test_line_dedup_release_shares_one_explode_pass(spark):
+    """release=<list> persists the exploded lines frame so the
+    boilerplate agg and the reassembly join share one explode pass:
+    cache read in the plan, results identical to the lazy form."""
+    rows = [
+        (0, "intro zero\nCOOKIE BANNER\nbody zero"),
+        (1, "intro one\nCOOKIE BANNER\nbody one"),
+        (2, "clean doc\nnothing shared"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lazy = {
+        r.doc_id: (r.clean_text, r.n_lines_removed)
+        for r in dedup.line_dedup(df, min_docs=2).collect()
+    }
+    rel = []
+    out = dedup.line_dedup(df, min_docs=2, release=rel)
+    got = {
+        r.doc_id: (r.clean_text, r.n_lines_removed) for r in out.collect()
+    }
+    assert got == lazy and len(rel) == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    for h in rel:
+        h.unpersist()
+
+
+def test_pack_sequences_release_shares_one_text_pass(spark):
+    """release=<list> persists the (id, n) counts frame so the bounds
+    agg, bucket totals, and manifest share ONE pass over the text:
+    the manifest plan must read the cache (InMemoryTableScan), and
+    the results must equal the lazy form's."""
+    rows = [(i, " ".join(["w"] * (1 + i % 9))) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lazy = {
+        (r.seq_id, r.doc_id): (r.doc_from, r.doc_to, r.seq_pos)
+        for r in packing.pack_sequences(df, budget=12, n_buckets=4).collect()
+    }
+    rel = []
+    out = packing.pack_sequences(df, budget=12, n_buckets=4, release=rel)
+    got = {
+        (r.seq_id, r.doc_id): (r.doc_from, r.doc_to, r.seq_pos)
+        for r in out.collect()
+    }
+    assert got == lazy and got
+    assert len(rel) == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    for h in rel:
+        h.unpersist()
+
+
 def test_pack_sequences_full_range_ids(spark):
     """Hash-minted doc ids are arbitrary int64 (negatives and the
     extremes included) — the range bucketing must neither overflow
