@@ -584,6 +584,18 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_dedup_incremental_lines(spark, sf_dir):
+    """Batch-vs-corpus line dedup: the corpus participates only
+    through its stored (fp, n_docs) line-count table
+    (ops/dedup.incremental_line_dedup); exactness oracle = the
+    batch-id slice of a full run over corpus ∪ batch."""
+    aug = _multiline_docs(spark, sf_dir)
+    corpus = dedup.line_corpus_counts(aug.filter(F.col("doc_id") % 3 != 0))
+    return dedup.incremental_line_dedup(
+        aug.filter(F.col("doc_id") % 3 == 0), corpus, min_docs=2
+    )
+
+
 def q_pipeline_pack(spark, sf_dir):
     """The COMPOSED training-data pipeline as one hash-checked chain:
     multi-line corpus (planted boilerplate + per-doc-unique planted
@@ -813,6 +825,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     "pii_scrub": q_pii_scrub,
     "line_dedup": q_line_dedup,
+    "dedup_incremental_lines": q_dedup_incremental_lines,
     "pack_sequences": q_pack_sequences,
     "pipeline_pack": q_pipeline_pack,
     "mm_frame_plan": q_mm_frame_plan,
@@ -1250,6 +1263,40 @@ select doc_id,
            filter (where not dropped), '') as clean_text,
   count(*) filter (where dropped) as n_lines_removed
 from fl group by doc_id
+""",
+    # exactness: the incremental batch result IS the batch-id slice
+    # of a full run over corpus ∪ batch (distinct-doc counts add
+    # across the disjoint sides), so the oracle is the full-run SQL
+    # with the output restricted to the batch
+    "dedup_incremental_lines": """
+with il_aug as (
+  select doc_id,
+    replace(text, ' value ', chr(10))
+    || case when doc_id % 4 = 0
+            then chr(10) || 'all rights reserved footer' else '' end
+    || case when doc_id % 9 = 0
+            then chr(10) || 'subscribe to our newsletter' else '' end
+    as text
+  from documents
+), il_l as (
+  select doc_id, i as pos, ls[i] as line
+  from (select doc_id, string_split(text, chr(10)) ls from il_aug) d,
+       lateral unnest(generate_series(1, len(ls))) as t(i)
+), il_boiler as (
+  select md5(trim(line)) as fp
+  from il_l where trim(line) != ''
+  group by 1 having count(distinct doc_id) >= 2
+), il_fl as (
+  select doc_id, pos, line,
+    (trim(line) != ''
+     and md5(trim(line)) in (select fp from il_boiler)) as dropped
+  from il_l
+)
+select doc_id,
+  coalesce(string_agg(line, chr(10) order by pos)
+           filter (where not dropped), '') as clean_text,
+  count(*) filter (where dropped) as n_lines_removed
+from il_fl where doc_id % 3 = 0 group by doc_id
 """,
     # DuckDB sum(BIGINT) is HUGEINT -> cast the running offset back
     # to bigint or the driver's pandas hash drifts to float

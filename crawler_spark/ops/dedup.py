@@ -1038,10 +1038,7 @@ def line_dedup(
     pass — and appends it for the caller to unpersist after its one
     downstream action; `release=None` stays lazy (driver-owned
     contract queries)."""
-    lines = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    ).withColumn("_t", F.trim(F.col("line")))
+    lines = _line_rows(docs, id_col, text_col)
     if release is not None:
         lines = lines.persist()
         release.append(lines)
@@ -1052,6 +1049,23 @@ def line_dedup(
         .filter(F.col("_nd") >= min_docs)
         .select("_fp", F.lit(True).alias("_boiler"))
     )
+    return _reassemble_lines(lines, boiler, id_col)
+
+
+def _line_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, line, _t): one row per split line with its trimmed
+    form — the shared explode pass of the line-dedup family."""
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("_t", F.trim(F.col("line")))
+
+
+def _reassemble_lines(
+    lines: DataFrame, boiler: DataFrame, id_col: str
+) -> DataFrame:
+    """Rejoin each doc's surviving lines in original order; boiler is
+    the (_fp, _boiler=true) verdict table keyed by trimmed-line md5."""
     flagged = lines.join(
         boiler, F.md5(F.col("_t")) == F.col("_fp"), "left"
     )
@@ -1070,3 +1084,68 @@ def line_dedup(
         ).alias("clean_text"),
         F.sum(dropped.cast("int")).cast("long").alias("n_lines_removed"),
     )
+
+
+def line_corpus_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(fp, n_docs): the stored line-fingerprint state of a corpus —
+    distinct-document counts per trimmed non-blank line, the side
+    incremental_line_dedup consults (build once at admission, then
+    maintain by SUMMING each admitted batch's counts in: epochs admit
+    disjoint doc ids, so distinct-doc counts add across epochs)."""
+    lines = _line_rows(docs, id_col, text_col)
+    return (
+        lines.filter(F.col("_t") != "")
+        .groupBy(F.md5("_t").alias("fp"))
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    )
+
+
+def incremental_line_dedup(
+    new_docs: DataFrame,
+    corpus_counts: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    release: list | None = None,
+) -> DataFrame:
+    """line_dedup of an INCOMING batch against an accumulated corpus
+    — the per-crawl-batch pipeline shape (consult-and-update, like
+    incremental_exact_dedup): the corpus is represented ONLY by its
+    stored (fp, n_docs) line-count table, never re-split. A batch
+    line is boilerplate when corpus docs + batch distinct docs
+    containing it reach min_docs.
+
+    Exactness: the batch-side output equals the batch-id slice of a
+    full line_dedup over corpus ∪ batch — a line's total distinct-doc
+    count is exactly corpus count + batch count (epochs admit
+    disjoint ids), so the verdict is identical (gated in tests).
+
+    100 TB shape: the corpus table is consulted via a left_semi
+    probe restricted to the batch's (delta-sized, broadcastable) line
+    keys — streamed past, never shuffled or re-derived; everything
+    else is the batch-local line_dedup plan. State update: append the
+    batch's line_corpus_counts by summing per fp. `release=<list>`
+    persists the batch's exploded lines (one explode pass), appended
+    for the caller to unpersist."""
+    lines = _line_rows(new_docs, id_col, text_col)
+    if release is not None:
+        lines = lines.persist()
+        release.append(lines)
+    batch_counts = (
+        lines.filter(F.col("_t") != "")
+        .groupBy(F.md5("_t").alias("_fp"))
+        .agg(F.count_distinct(F.col(id_col)).alias("_bn"))
+    )
+    hits = corpus_counts.select(
+        F.col("fp").alias("_fp"), F.col("n_docs").alias("_cn")
+    ).join(batch_counts.select("_fp"), "_fp", "left_semi")
+    boiler = (
+        batch_counts.join(hits, "_fp", "left")
+        .filter(
+            F.coalesce(F.col("_cn"), F.lit(0)) + F.col("_bn") >= min_docs
+        )
+        .select("_fp", F.lit(True).alias("_boiler"))
+    )
+    return _reassemble_lines(lines, boiler, id_col)

@@ -684,6 +684,55 @@ def test_line_dedup_planted(spark):
     assert got[4].n_lines_removed == 1
 
 
+def test_incremental_line_dedup_matches_full_run(spark):
+    """The per-crawl-batch shape: batch deduped against ONLY the
+    stored (fp, n_docs) corpus table must equal the batch-id slice of
+    a full line_dedup over corpus ∪ batch — cross-side boilerplate
+    (one corpus doc + one batch doc) drops, batch-internal
+    boilerplate drops, corpus-only boilerplate is invisible to the
+    batch, unique lines survive."""
+    corpus_rows = [
+        (0, "corpus intro\nSHARED FOOTER\ncorpus body"),
+        (1, "another doc\nCORPUS ONLY LINE\nmore text"),
+        (2, "third doc\nCORPUS ONLY LINE\nends here"),
+    ]
+    batch_rows = [
+        (10, "fresh page\nSHARED FOOTER\nnew content"),
+        (11, "batch a\nBATCH BANNER\ntail a"),
+        (12, "batch b\nBATCH BANNER\ntail b"),
+        (13, "all unique\nlines here\nsurvive"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    state = dedup.line_corpus_counts(corpus)
+    got = {
+        r.doc_id: (r.clean_text, r.n_lines_removed)
+        for r in dedup.incremental_line_dedup(batch, state).collect()
+    }
+    full = {
+        r.doc_id: (r.clean_text, r.n_lines_removed)
+        for r in dedup.line_dedup(corpus.unionByName(batch)).collect()
+        if r.doc_id >= 10
+    }
+    assert got == full
+    assert got[10] == ("fresh page\nnew content", 1)  # cross-side
+    assert got[11] == ("batch a\ntail a", 1)          # batch-internal
+    assert got[13] == (batch_rows[3][1], 0)           # untouched
+    # state update: counts add across disjoint epochs
+    merged = (
+        state.unionByName(dedup.line_corpus_counts(batch))
+        .groupBy("fp")
+        .agg(F.sum("n_docs").alias("n_docs"))
+    )
+    want = {
+        r.fp: r.n_docs
+        for r in dedup.line_corpus_counts(
+            corpus.unionByName(batch)
+        ).collect()
+    }
+    assert {r.fp: r.n_docs for r in merged.collect()} == want
+
+
 def test_pack_sequences_hand_computed(spark):
     """Concat-and-chunk packing against a hand-computed manifest:
     token counts 4,10,13,0,3 at budget 10 — docs span cuts, the
