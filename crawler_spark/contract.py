@@ -675,11 +675,12 @@ def q_dedup_winnow_pairs(spark, sf_dir):
 
 
 def q_mm_decode_features(spark, sf_dir):
-    """REAL multimodal decode end-to-end (rows-only: BMP/WAV parsing
-    is not DuckDB-expressible; the decode itself is gated by struct-
-    level oracles in tests/test_ops.py): deterministic synthetic
-    media — valid 24-bit BMPs and PCM-16 WAVs — through the Arrow
-    decode+featurize UDF, feature vector exploded to rows."""
+    """REAL multimodal decode end-to-end (rows-only: BMP/WAV/AVI
+    parsing is not DuckDB-expressible; the decode itself is gated by
+    struct-level oracles in tests/test_ops.py): deterministic
+    synthetic media — valid 24-bit BMPs, PCM-16 WAVs and raw-DIB
+    AVIs — through the Arrow decode+featurize UDF, feature vector
+    exploded to rows."""
     media = multimodal.synth_media(spark, 120, seed=9)
     feats = multimodal.extract_features(media, feat_dim=8)
     return feats.select(
@@ -691,6 +692,26 @@ def q_mm_decode_features(spark, sf_dir):
         "kind",
         F.col("pos").cast("long").alias("pos"),
         F.round("val", 6).alias("val"),
+    )
+
+
+def q_mm_video_frames(spark, sf_dir):
+    """Video frame sampling + REAL decode (rows-only: AVI parsing is
+    not DuckDB-expressible; plan parity and pixel values are gated in
+    tests/test_ops.py): each synthetic raw-DIB AVI decoded once, one
+    row per sampled timestamp with the served container frame and its
+    pixel summary."""
+    media = multimodal.synth_media(spark, 120, seed=9)
+    fr = multimodal.decode_sampled_frames(media, every_ms=100, max_frames=4)
+    return fr.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "ts_ms",
+        F.col("src_frame").cast("long").alias("src_frame"),
+        "height",
+        "width",
+        F.round("f_mean", 6).alias("f_mean"),
+        F.round("f_std", 6).alias("f_std"),
     )
 
 
@@ -831,6 +852,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_frame_plan": q_mm_frame_plan,
     "mm_resize_plan": q_mm_resize_plan,
     "mm_decode_features": q_mm_decode_features,
+    "mm_video_frames": q_mm_video_frames,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "semantic_dedup": q_semantic_dedup,
