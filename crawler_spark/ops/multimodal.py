@@ -473,13 +473,10 @@ def decode_sampled_frames(
                 for mid, payload, dur in zip(
                     chunk["media_id"], chunk["payload"], chunk["duration_ms"]
                 ):
-                    frames = decode_avi(bytes(payload))
-                    usec = int.from_bytes(
-                        bytes(payload)[
-                            bytes(payload).index(b"avih") + 8 :
-                        ][:4],
-                        "little",
-                    )
+                    b = bytes(payload)
+                    frames = decode_avi(b)
+                    i = b.index(b"avih") + 8
+                    usec = int.from_bytes(b[i : i + 4], "little")
                     nf = min(max(int(dur) // every_ms, 1), max_frames)
                     for j in range(nf):
                         ts = j * every_ms
