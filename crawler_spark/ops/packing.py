@@ -125,12 +125,16 @@ def pack_sequences(
         F.element_at(off_map, F.col("_bkt"))
         + F.coalesce(F.sum("_n").over(w), F.lit(0))
     ).cast("long")
+    # integer `div`, not floor(double /): at stream offsets where
+    # st/budget's double ulp nears 1/budget (st ~ 2^53/2048) the
+    # floored quotient could land one sequence off — div is exact for
+    # any int64 offset
     spans = counts.select(
-        F.col(id_col),
-        F.col("_n"),
-        st.alias("_st"),
-        F.floor(st / budget).cast("long").alias("_s_first"),
-        F.floor((st + F.col("_n") - 1) / budget).cast("long").alias("_s_last"),
+        F.col(id_col), F.col("_n"), st.alias("_st")
+    ).selectExpr(
+        "*",
+        f"_st div {int(budget)} as _s_first",
+        f"(_st + _n - 1) div {int(budget)} as _s_last",
     )
     out = spans.select(
         F.col(id_col),
