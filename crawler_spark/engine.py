@@ -81,6 +81,7 @@ TABLES = (
     "filters",
     "doc_fps",
     "doc_bands",
+    "doc_lines",
 )
 
 # anti-join keys for delta-composed partial commits, per table
@@ -91,12 +92,15 @@ _PENDING_KEYS = {
     "nodes": ["node_id"],
     "doc_fps": ["fp"],
     "doc_bands": ["doc_id", "band", "key"],
+    "doc_lines": ["fp"],
 }
 
 # content-dedup state table schemas (sign-at-admission corpus side of
-# ops.dedup.incremental_exact_dedup / incremental_lsh_pairs)
+# ops.dedup.incremental_exact_dedup / incremental_lsh_pairs /
+# incremental_line_dedup)
 _DOC_FPS_SCHEMA = "fp string, keeper_id long"
 _DOC_BANDS_SCHEMA = "doc_id long, band int, key string"
+_DOC_LINES_SCHEMA = "fp string, n_docs long"
 
 
 class CrawlEngine:
@@ -193,8 +197,15 @@ class CrawlEngine:
         self.dedup_shingle_k = dedup_shingle_k
         self.doc_fps: DataFrame | None = None  # (fp, keeper_id)
         self.doc_bands: DataFrame | None = None  # (doc_id, band, key)
+        # (line-fp, n_docs): the boilerplate-line state the
+        # incremental line dedup consults — counts accrue one
+        # contribution per distinct content-version (exact-dedup
+        # keepers), so duplicates never inflate line stats and the
+        # table equals line_corpus_counts over the corpus keepers
+        self.doc_lines: DataFrame | None = None
         self._doc_fps_dirty: set[int] | None = None
         self._doc_bands_dirty: set[int] | None = None
+        self._doc_lines_dirty: set[int] | None = None
         # tables rolled back by resume's cross-table reconciliation
         self.last_resume_rollback: list[str] = []
 
@@ -240,6 +251,7 @@ class CrawlEngine:
         if self.dedup_state:
             self.doc_fps = spark.createDataFrame([], _DOC_FPS_SCHEMA)
             self.doc_bands = spark.createDataFrame([], _DOC_BANDS_SCHEMA)
+            self.doc_lines = spark.createDataFrame([], _DOC_LINES_SCHEMA)
         self.epoch = 0
         # the one-time bootstrap scans that seed the incremental
         # counters (every later epoch maintains them from deltas)
@@ -281,6 +293,7 @@ class CrawlEngine:
                 "visits",
                 "doc_fps",
                 "doc_bands",
+                "doc_lines",
             )
             and "bucket" in df.columns
         ):
@@ -409,6 +422,7 @@ class CrawlEngine:
         for name, schema, attr in (
             ("doc_fps", _DOC_FPS_SCHEMA, "_doc_fps_dirty"),
             ("doc_bands", _DOC_BANDS_SCHEMA, "_doc_bands_dirty"),
+            ("doc_lines", _DOC_LINES_SCHEMA, "_doc_lines_dirty"),
         ):
             snap = _aux_capped(name)
             if snap is not None and name == "doc_bands":
@@ -546,6 +560,7 @@ class CrawlEngine:
             "frontier": (self._host_bucket(), self._frontier_dirty),
             "doc_fps": (self._bucket_of_str("fp"), self._doc_fps_dirty),
             "doc_bands": (self._bucket_of_str("key"), self._doc_bands_dirty),
+            "doc_lines": (self._bucket_of_str("fp"), self._doc_lines_dirty),
         }
         def _commit_one(name: str, df: DataFrame) -> None:
             # pool threads build plans (withColumn/filter/union) and
@@ -630,6 +645,8 @@ class CrawlEngine:
             to_commit.append(("doc_fps", self.doc_fps))
         if self.doc_bands is not None:
             to_commit.append(("doc_bands", self.doc_bands))
+        if self.doc_lines is not None:
+            to_commit.append(("doc_lines", self.doc_lines))
         with ThreadPoolExecutor(max_workers=8) as pool:
             futures = [
                 pool.submit(_commit_one, name, df) for name, df in to_commit
@@ -646,6 +663,8 @@ class CrawlEngine:
             self._doc_fps_dirty = set()
         if self.doc_bands is not None:
             self._doc_bands_dirty = set()
+        if self.doc_lines is not None:
+            self._doc_lines_dirty = set()
         self._pending = {}
         # snapshot paths are versioned: superseded reads never hit
         # again, so drop them rather than accumulate one per epoch
@@ -1124,6 +1143,11 @@ class CrawlEngine:
                 [], _DOC_BANDS_SCHEMA
             )
             self._doc_bands_dirty = None
+        if self.doc_lines is None:
+            self.doc_lines = self.spark.createDataFrame(
+                [], _DOC_LINES_SCHEMA
+            )
+            self._doc_lines_dirty = None
         # ---- exact side: batch fingerprints, doc-level (for the
         # keeper-identity check below), rolled up per fp (the
         # within-batch keeper = min doc_id, matching exact_dedup);
@@ -1149,7 +1173,10 @@ class CrawlEngine:
         )
         n_docs = sum(int(r["nd"]) for r in arows)
         if not n_docs:
-            return {"docs": 0, "dup_exact": 0, "neardup_cands": 0}
+            return {
+                "docs": 0, "dup_exact": 0, "neardup_cands": 0,
+                "line_fps": 0,
+            }
         fp_buckets = [int(r["b"]) for r in arows]
         corpus_fp = self._pruned_table("doc_fps", fp_buckets)
         if corpus_fp is None:
@@ -1230,6 +1257,25 @@ class CrawlEngine:
         # append: a re-signed doc (re-crawl) must not duplicate rows it
         # already stored — anti against the same pruned corpus slice
         nb_new = nb.join(corpus_b, ["doc_id", "band", "key"], "left_anti")
+        # ---- boilerplate-line side: counts accrue ONE contribution
+        # per distinct content-version — only batch docs that are the
+        # within-batch keeper of a fp NEW to the corpus contribute
+        # (exact dups, re-crawled identical text, and within-batch
+        # copies add nothing), so the stored table always equals
+        # line_corpus_counts over the corpus's exact-dedup keepers:
+        # the CCNet shape, where duplicated documents don't inflate
+        # line statistics. new_fps is a checkpoint materialized by
+        # action 2, so this costs one more column-pruned text pass
+        # (split + explode), no re-derivation of the exact side.
+        docs_keep = docs.join(
+            new_fps.select(F.col("keeper_id").alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        )
+        blc = (
+            dd.line_corpus_counts(docs_keep)
+            .localCheckpoint(eager=False)
+        )
         # action 3 (tagged union): the consult step's near-dup
         # candidate count (batch-vs-corpus plus within-batch, deduped
         # across bands) AND the buckets of the band rows actually
@@ -1255,11 +1301,23 @@ class CrawlEngine:
                     self._bucket_of_str("key").alias("b"),
                 )
             )
+            .unionByName(
+                # materializes blc and yields the line-state bucket
+                # cover (corpus-pruning input for the merge below)
+                blc.select(
+                    F.lit(2).alias("k"),
+                    self._bucket_of_str("fp").alias("b"),
+                )
+            )
             .groupBy("k", "b")
             .count()
             .collect()
         )
         n_cand = sum(int(r["count"]) for r in _vrows if int(r["k"]) == 0)
+        line_buckets = [int(r["b"]) for r in _vrows if int(r["k"]) == 2]
+        n_line_fps = sum(
+            int(r["count"]) for r in _vrows if int(r["k"]) == 2
+        )
         self._mark_dirty(
             "_doc_fps_dirty",
             (int(r["b"]) for r in _urows if int(r["k"]) == 0),
@@ -1272,10 +1330,43 @@ class CrawlEngine:
         self._pend("doc_bands", None, nb_new)
         self.doc_fps = self.doc_fps.unionByName(new_fps)
         self.doc_bands = self.doc_bands.unionByName(nb_new)
+        if line_buckets:
+            # merge, not append: a line fp the corpus already holds
+            # gets its count SUMMED (disjoint contribution sets by
+            # the keeper rule above). The corpus side is consulted
+            # via the pruned snapshot streamed past the broadcast
+            # batch keys; remove/add are both delta-sized, and the
+            # commit composes dirty buckets as (base anti old-rows)
+            # union merged-rows — the full table is never scanned.
+            corpus_l = self._pruned_table("doc_lines", line_buckets)
+            if corpus_l is None:
+                corpus_l = self.doc_lines
+            hits_l = corpus_l.join(
+                blc.select("fp"), "fp", "left_semi"
+            ).localCheckpoint(eager=False)
+            merged = (
+                blc.withColumnRenamed("n_docs", "_bn")
+                .join(
+                    hits_l.withColumnRenamed("n_docs", "_cn"), "fp", "left"
+                )
+                .select(
+                    "fp",
+                    (F.col("_bn") + F.coalesce(F.col("_cn"), F.lit(0)))
+                    .cast("long")
+                    .alias("n_docs"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            self._mark_dirty("_doc_lines_dirty", line_buckets)
+            self._pend("doc_lines", hits_l.select("fp"), merged)
+            self.doc_lines = self.doc_lines.join(
+                blc.select("fp"), "fp", "left_anti"
+            ).unionByName(merged)
         return {
             "docs": n_docs,
             "dup_exact": n_dup,
             "neardup_cands": n_cand,
+            "line_fps": n_line_fps,
         }
 
     def _apply_visits_delta(

@@ -133,6 +133,25 @@ def test_dedup_state_matches_full_run(spark, tmp_path):
     )
     assert got_bands == want_bands and len(got_bands) > 0
 
+    # committed line-count table == line_corpus_counts over the
+    # corpus's exact-dedup keepers (the engine counts each distinct
+    # content-version once — duplicates never inflate line stats;
+    # the keeper set is the ENGINE's, i.e. first-admitted per fp,
+    # which on this fixture equals the min-id full-run keeper)
+    keepers = (
+        eng.cat.read(spark, "doc_fps")
+        .select(F.col("keeper_id").alias("doc_id"))
+        .distinct()
+    )
+    got_lines = _rows(
+        eng.cat.read(spark, "doc_lines").select("fp", "n_docs")
+    )
+    want_lines = _rows(
+        dd.line_corpus_counts(docs.join(keepers, "doc_id", "left_semi"))
+    )
+    assert got_lines == want_lines and len(got_lines) > 0
+    assert sum(s["line_fps"] for s in stats) == len(got_lines)
+
     # hence the candidate-pair set derived from the STATE equals the
     # full-corpus banding's candidate set
     b = eng.cat.read(spark, "doc_bands")
@@ -217,12 +236,73 @@ def test_resume_round_trips_dedup_state(spark, tmp_path):
     assert _rows(eng2.doc_bands.select("doc_id", "band", "key")) == _rows(
         eng.doc_bands.select("doc_id", "band", "key")
     )
+    assert _rows(eng2.doc_lines.select("fp", "n_docs")) == _rows(
+        eng.doc_lines.select("fp", "n_docs")
+    )
     # and the resumed engine keeps the full-run invariant going
     _, ing3 = _run_epochs(eng2, web, 1, start=2)
     docs = _ingested_docs(eng2, web, ingested + ing3)
     assert _rows(
         eng2.cat.read(spark, "doc_fps").select("fp", "keeper_id")
     ) == _rows(dd.corpus_fingerprints(docs))
+    keepers = (
+        eng2.cat.read(spark, "doc_fps")
+        .select(F.col("keeper_id").alias("doc_id"))
+        .distinct()
+    )
+    assert _rows(
+        eng2.cat.read(spark, "doc_lines").select("fp", "n_docs")
+    ) == _rows(
+        dd.line_corpus_counts(docs.join(keepers, "doc_id", "left_semi"))
+    )
+
+
+def test_line_state_merges_across_epochs(spark, tmp_path):
+    """The doc_lines table is MERGED, not appended: a boilerplate
+    footer planted on pages fetched in different epochs must end as
+    ONE (fp, n_docs) row whose count SUMS the per-epoch keeper
+    contributions — and exact-duplicate copies (node 15 carries node
+    0's text verbatim, footer included) must not inflate it."""
+    web = _web(spark)
+    footer_urls = [datagen.node_url(i) for i in range(0, 40, 3)]
+    footer = "  subscribe to our newsletter  "
+    web = web.withColumn(
+        "text",
+        F.when(
+            F.col("url").isin(footer_urls),
+            F.concat(F.col("text"), F.lit("\n" + footer)),
+        ).otherwise(F.col("text")),
+    )
+    eng = _mk(spark, str(tmp_path / "a"))
+    eng.bootstrap([datagen.node_url(i) for i in (0, 1, 2)], NOW)
+    stats, ingested = _run_epochs(eng, web, 3)
+    docs = _ingested_docs(eng, web, ingested)
+
+    keepers = (
+        eng.cat.read(spark, "doc_fps")
+        .select(F.col("keeper_id").alias("doc_id"))
+        .distinct()
+    )
+    got = _rows(eng.cat.read(spark, "doc_lines").select("fp", "n_docs"))
+    want = _rows(
+        dd.line_corpus_counts(docs.join(keepers, "doc_id", "left_semi"))
+    )
+    assert got == want and len(got) > 0
+
+    # the footer line is one merged row counting each KEEPER once
+    fp = {r.fp: r.n_docs for r in eng.doc_lines.collect()}[
+        __import__("hashlib").md5(footer.strip().encode()).hexdigest()
+    ]
+    n_footer_keepers = (
+        docs.join(keepers, "doc_id", "left_semi")
+        .filter(F.col("text").contains(footer.strip()))
+        .count()
+    )
+    assert fp == n_footer_keepers >= 2
+    # the merge path actually ran: some line fp was contributed by
+    # more than one epoch (per-epoch batch fps sum past the merged
+    # table size), i.e. the commit composed remove-old + add-summed
+    assert sum(s["line_fps"] for s in stats) > len(got)
 
 
 def test_resume_reconciles_cross_table_epoch_skew(spark, tmp_path):
