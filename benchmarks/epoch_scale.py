@@ -93,6 +93,7 @@ def build_engine(spark, path: str, n_nodes: int, now, dedup_state=True):
 
         eng.doc_fps = spark.createDataFrame([], _em._DOC_FPS_SCHEMA)
         eng.doc_bands = spark.createDataFrame([], _em._DOC_BANDS_SCHEMA)
+        eng.doc_lines = spark.createDataFrame([], _em._DOC_LINES_SCHEMA)
     eng._commit(now, {"event": "setup"})
     return eng
 
