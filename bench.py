@@ -43,7 +43,7 @@ def main() -> None:
     spark.range(0, n_workers, 1, n_workers).mapInPandas(_warm, "id long").count()
 
     timings: dict[str, float] = {}
-    extras: dict[str, float] = {}
+    extras: dict[str, object] = {}
 
     def bench(name, fn):
         t0 = time.perf_counter()
@@ -132,7 +132,29 @@ def main() -> None:
     bench("q9_text_stats", lambda: contract.q_text_stats(
         spark, sf_dir).count())
 
+    # headline total = q1-q9 (stable across rounds for BASELINE.md
+    # comparability); the training-pipeline ops are timed separately
     total = round(sum(timings.values()), 3)
+
+    pipeline: dict[str, float] = {}
+
+    def pbench(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        pipeline[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {pipeline[name]:.2f}s", file=sys.stderr)
+
+    pbench("p1_pipeline_pack", lambda: contract.q_pipeline_pack(
+        spark, sf_dir).count())
+    pbench("p2_decontamination", lambda: contract.q_decontamination(
+        spark, sf_dir).count())
+    pbench("p3_domain_mixture", lambda: contract.q_domain_mixture(
+        spark, sf_dir).count())
+    pbench("p4_dsir", lambda: contract.q_dsir_importance(
+        spark, sf_dir).count())
+    pbench("p5_ngram_repetition", lambda: contract.q_ngram_repetition(
+        spark, sf_dir).count())
+    extras["pipeline"] = pipeline
     out = {
         "metric": "headline suite wall time",
         "value": total,

@@ -29,7 +29,16 @@ from . import graph, rank, seen, walks_gen
 from . import frontier as frontier_mod
 from .functions import extract as extract_mod
 from .functions.extract import is_valid_url, url_host
-from .ops import dedup, multimodal, packing, similarity, textstats
+from .ops import (
+    decontam,
+    dedup,
+    dsir,
+    multimodal,
+    packing,
+    sampling,
+    similarity,
+    textstats,
+)
 
 SPLIT_TS = "1998-06-01 00:00:00"
 
@@ -625,6 +634,97 @@ def q_pipeline_pack(spark, sf_dir):
     return packing.pack_sequences(kept, budget=64, n_buckets=8)
 
 
+_DECON_PASSAGE = " the quick crawl ranks pages by visit mass every epoch"
+
+
+def q_decontamination(spark, sf_dir):
+    """GPT-3/Dolma eval-set decontamination verdicts
+    (ops/decontam.contamination): per training doc, the number of
+    distinct word 8-grams shared with the eval slice.  The synthetic
+    corpus shares almost no >=5-grams organically (verified: 1 doc),
+    so a benchmark passage is planted by pure column math (mirrored
+    in the oracle) on every eval doc's side counterpart: docs with
+    doc_id % 9 == 0 carry the passage, docs with doc_id % 13 == 0
+    form the eval set — ~50 train docs contaminate through it."""
+    did = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 9 == 0, F.lit(_DECON_PASSAGE)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    ev = docs.filter(did % 13 == 0)
+    train = docs.filter(did % 13 != 0)
+    return decontam.contamination(train, decontam.eval_ngrams(ev, n=8), n=8)
+
+
+def q_domain_mixture(spark, sf_dir):
+    """Dolma/Pile-style domain mixture sampling
+    (ops/sampling.sample_mixture): per-source keep-rates from target
+    weights (derived deterministically from the source suffix) and a
+    60%-of-corpus token budget, then a deterministic md5-draw
+    Bernoulli per doc — reproducible, zero-shuffle, oracle-mirrored
+    down to the hex-threshold compare."""
+    docs = _t(spark, sf_dir, "documents")
+    stats = sampling.domain_stats(docs)
+    weights = stats.select(
+        "domain",
+        (
+            (F.regexp_extract("domain", r"(\d+)$", 1).cast("int") % 5) + 1
+        ).cast("double").alias("weight"),
+    )
+    rates = sampling.mixture_rates(stats, weights, budget_frac=0.6)
+    kept = sampling.sample_mixture(docs, rates, seed=7)
+    return kept.select(
+        "doc_id", "source", F.round("rate", 6).alias("rate")
+    )
+
+
+def q_ngram_repetition(spark, sf_dir):
+    """Gopher n-gram repetition signals
+    (ops/textstats.ngram_repetition_stats): top-{2,3,4}-gram char
+    fractions and dup-{5,10}-gram excess fractions per doc.  The
+    single-line synthetic corpus has little organic n-gram
+    repetition, so docs with doc_id % 11 == 0 are self-concatenated
+    by pure column math (mirrored in the oracle) — every planted doc
+    duplicates ALL its n-grams, exercising the dup path and the 1.0
+    cap."""
+    t = F.col("text")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.concat(t, F.lit(" "), t))
+        .otherwise(t)
+        .alias("text"),
+    )
+    return textstats.ngram_repetition_stats(docs)
+
+
+def q_dsir_importance(spark, sf_dir):
+    """DSIR hashed-n-gram importance resampling (ops/dsir.dsir_select):
+    target = the corpus' English slice, raw = the whole corpus; the
+    100 documents whose unigram+bigram bucket bags look most
+    target-like win the deterministic Gumbel top-k.  Every stage —
+    md5 bucket hash, Laplace-smoothed log-ratio, per-doc weight sum,
+    md5-uniform Gumbel draw — is mirrored in the oracle; doubles
+    rounded to 4dp (the weight is a cross-partition double sum, so
+    6dp would sit inside reorder noise)."""
+    docs = _t(spark, sf_dir, "documents")
+    sel = dsir.dsir_select(
+        raw_docs=docs,
+        target_docs=docs.filter(F.col("lang") == "en"),
+        k=100,
+        n_buckets=4096,
+        smoothing=1.0,
+        seed=17,
+    )
+    return sel.select(
+        "doc_id",
+        F.round("logw", 4).alias("logw"),
+        F.round("key", 4).alias("key"),
+    )
+
+
 def q_dedup_incremental_exact(spark, sf_dir):
     """Batch-vs-corpus exact dedup (the per-crawl-batch pipeline
     shape): corpus = doc_id % 3 != 0 represented ONLY by its stored
@@ -849,6 +949,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental_lines": q_dedup_incremental_lines,
     "pack_sequences": q_pack_sequences,
     "pipeline_pack": q_pipeline_pack,
+    "decontamination": q_decontamination,
+    "domain_mixture": q_domain_mixture,
+    "dsir_importance": q_dsir_importance,
+    "ngram_repetition": q_ngram_repetition,
     "mm_frame_plan": q_mm_frame_plan,
     "mm_resize_plan": q_mm_resize_plan,
     "mm_decode_features": q_mm_decode_features,
@@ -1007,6 +1111,65 @@ with nrm as (
 )
 select doc_id, unnest(fps) as fp from wn
 """
+
+
+def _ngram_rep_sql(top_ns=(2, 3, 4), dup_ns=(5, 10)) -> str:
+    """DuckDB mirror of ngram_repetition_stats over the %11 self-
+    concat augmentation: per n, gram rows -> (g, c, chars) counts ->
+    top = argmin(c desc, g asc) value c·chars, dup = Σ (c−1)·chars."""
+    blocks, cols, joins = [], [], []
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        blocks.append(f"""nr_g{n} as (
+  select doc_id, array_to_string(list_slice(ts, i, i + {n - 1}), ' ') as g
+  from nr_toks, unnest(generate_series(1, len(ts) - {n - 1})) as s(i)
+), nr_c{n} as (
+  select doc_id, g, count(*)::bigint as c, len(g)::bigint as chars
+  from nr_g{n} group by 1, 2
+)""")
+    for n in top_ns:
+        blocks.append(f"""nr_top{n} as (
+  select doc_id, (c * chars)::double as v from (
+    select doc_id, c, chars,
+           row_number() over (partition by doc_id
+                              order by c desc, g asc) as rn
+    from nr_c{n}) where rn = 1
+)""")
+        cols.append(
+            f"round(case when t.total <= 0 then 0.0 else "
+            f"least(1.0, coalesce(nr_top{n}.v, 0.0) / t.total) end, 6) "
+            f"as top_{n}gram_frac"
+        )
+        joins.append(f"left join nr_top{n} using (doc_id)")
+    for n in dup_ns:
+        blocks.append(f"""nr_dup{n} as (
+  select doc_id, sum((c - 1) * chars)::double as v
+  from nr_c{n} group by doc_id
+)""")
+        cols.append(
+            f"round(case when t.total <= 0 then 0.0 else "
+            f"least(1.0, coalesce(nr_dup{n}.v, 0.0) / t.total) end, 6) "
+            f"as dup_{n}gram_frac"
+        )
+        joins.append(f"left join nr_dup{n} using (doc_id)")
+    return f"""
+with nr_aug as (
+  select doc_id,
+         case when doc_id % 11 = 0 then text || ' ' || text
+              else text end as text
+  from documents
+), nr_toks as (
+  select doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') as ts
+  from nr_aug
+), nr_tot as (
+  select doc_id, len(array_to_string(ts, ' '))::bigint as total
+  from nr_toks
+), {', '.join(blocks)}
+select t.doc_id, {', '.join(cols)}
+from nr_tot t {' '.join(joins)}
+"""
+
+
+_NGRAM_REP_SQL = _ngram_rep_sql()
 
 
 ORACLES: dict[str, str] = {
@@ -1407,6 +1570,126 @@ select t.seq_id, s.doc_id,
   greatest(s.st - t.seq_id * 64, 0) as seq_pos
 from pp_spans s,
      lateral unnest(generate_series(s_first, s_last)) as t(seq_id)
+""",
+    # mirrors q_decontamination / ops/decontam exactly: [a-z0-9]+ token
+    # runs, md5 of the space-joined 8-token window, distinct per doc;
+    # n_hits cast ::bigint (DuckDB count() is HUGEINT -> float64 in
+    # pandas otherwise — the round-4 text_repetition drift class)
+    "decontamination": f"""
+with dc_aug as (
+  select doc_id,
+         text || case when doc_id % 9 = 0 then '{_DECON_PASSAGE}'
+                      else '' end as text
+  from documents
+), dc_toks as (
+  select doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') as ts
+  from dc_aug
+), dc_grams as (
+  select distinct doc_id,
+         md5(array_to_string(list_slice(ts, i, i + 7), ' ')) as g
+  from dc_toks, unnest(generate_series(1, len(ts) - 7)) as s(i)
+), dc_ev as (
+  select distinct g from dc_grams where doc_id % 13 = 0
+), dc_hits as (
+  select t.doc_id, count(*) as n_hits
+  from dc_grams t join dc_ev using (g)
+  where t.doc_id % 13 != 0
+  group by t.doc_id
+)
+select a.doc_id,
+       coalesce(h.n_hits, 0)::bigint as n_hits,
+       coalesce(h.n_hits, 0) > 0 as contaminated
+from (select doc_id from dc_aug where doc_id % 13 != 0) a
+left join dc_hits h using (doc_id)
+""",
+    # mirrors q_domain_mixture / ops/sampling exactly, down to the
+    # float evaluation order of the rate and the 8-hex md5 draw
+    "domain_mixture": r"""
+with dm_stats as (
+  select source as domain,
+         sum(case when len(trim(text)) = 0 then 0
+                  else len(regexp_split_to_array(trim(text), '\s+'))
+             end)::bigint as n_tokens
+  from documents group by source
+), dm_w as (
+  select domain,
+         ((regexp_extract(domain, '(\d+)$', 1)::int % 5) + 1)::double
+           as weight
+  from dm_stats
+), dm_tot as (select sum(weight) as w_total from dm_w),
+dm_tt as (select sum(n_tokens)::bigint as t_total from dm_stats),
+dm_rates as (
+  select s.domain,
+         least(1.0, (w.weight / dm_tot.w_total) * (0.6 * dm_tt.t_total)
+                    / s.n_tokens) as rate
+  from dm_stats s join dm_w w using (domain), dm_tot, dm_tt
+)
+select d.doc_id, d.source, round(r.rate, 6) as rate
+from documents d join dm_rates r on r.domain = d.source
+where r.rate >= 1.0
+   or substring(md5(d.doc_id::varchar || ':7'), 1, 8)
+      < lpad(lower(hex(floor(r.rate * 4294967296.0)::bigint)), 8, '0')
+""",
+    # mirrors q_ngram_repetition / ops/textstats n-gram folds exactly:
+    # same tokens, space-joined windows, strictly-greater tie-break
+    # (arg-min over (c desc, g asc)), excess convention, 1.0 cap,
+    # content-char denominator; integer products cast ::double before
+    # the divide (DuckDB '/' on BIGINTs would truncate)
+    "ngram_repetition": _NGRAM_REP_SQL,
+    # mirrors q_dsir_importance / ops/dsir exactly: [a-z0-9]+ tokens,
+    # unigram+bigram features WITH multiplicity, 32-bit md5 bucket
+    # % 4096, Laplace log-ratio over every bucket, per-doc weight
+    # sum, md5-uniform Gumbel top-100 at seed 17; doubles at 4dp
+    "dsir_importance": """
+with ds_toks as (
+  select doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') as ts
+  from documents
+), ds_feats as (
+  select doc_id, lang, f from (
+    select doc_id, lang, unnest(ts) as f from ds_toks
+    union all
+    select doc_id, lang, ts[i] || ' ' || ts[i + 1] as f
+    from ds_toks, unnest(generate_series(1, len(ts) - 1)) as s(i)
+  )
+), ds_bc as (
+  select doc_id, lang,
+         ('0x' || substring(md5(f), 1, 8))::bigint % 4096 as bucket,
+         count(*)::bigint as c
+  from ds_feats group by 1, 2, 3
+), ds_buckets as (select unnest(generate_series(0, 4095)) as bucket),
+ds_tn as (select bucket, sum(c)::bigint as n from ds_bc
+          where lang = 'en' group by bucket),
+ds_rn as (select bucket, sum(c)::bigint as n from ds_bc group by bucket),
+ds_tp as (
+  select b.bucket,
+         ln((coalesce(t.n, 0) + 1.0) / (tt.N + 1.0 * 4096)) as lp
+  from ds_buckets b
+  left join ds_tn t using (bucket),
+       (select sum(n)::bigint as N from ds_tn) tt
+), ds_rp as (
+  select b.bucket,
+         ln((coalesce(r.n, 0) + 1.0) / (rt.N + 1.0 * 4096)) as lq
+  from ds_buckets b
+  left join ds_rn r using (bucket),
+       (select sum(n)::bigint as N from ds_rn) rt
+), ds_ratio as (
+  select bucket, lp - lq as r from ds_tp join ds_rp using (bucket)
+), ds_w as (
+  select doc_id, sum(c * r) as logw
+  from ds_bc join ds_ratio using (bucket)
+  group by doc_id
+), ds_key as (
+  select doc_id, logw,
+         logw / 1.0 - ln(-ln(
+           ((('0x' || substring(md5(doc_id::varchar || ':17'), 1, 8))::bigint
+             ::double + 0.5) / 4294967296.0)
+         )) as key
+  from ds_w
+)
+select doc_id, round(logw, 4) as logw, round(key, 4) as key
+from ds_key
+order by key desc, doc_id asc
+limit 100
 """,
     "dedup_incremental_exact": """
 with fp as (select doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) f

@@ -359,6 +359,120 @@ def repetition_stats(
     )
 
 
+def _ngrams_arr(text: Column, n: int) -> Column:
+    """Array of space-joined word n-grams of `text` (tokens by the
+    corpus-wide [a-z0-9]+ convention); empty for docs with < n
+    tokens.  One higher-order expression, no explode."""
+    toks = _tokens_arr(text)
+    cnt = F.size(toks) - (n - 1)
+    idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def top_ngram_char_frac_expr(text: Column, n: int) -> Column:
+    """Gopher top-n-gram signal (Rae et al. 2021 A1.1, n in {2,3,4}):
+    fraction of the doc's content characters contained in the single
+    most frequent word n-gram — occurrences(top) · chars(top) /
+    chars(space-joined tokens).  Ties break to the lexicographically
+    FIRST gram (run-length scan over the sorted gram array updates on
+    strictly-greater only; the DuckDB mirror arg-mins (c desc, g
+    asc)).  Pure per-doc fold: O(g log g), no explode, no shuffle."""
+    grams = F.array_sort(_ngrams_arr(text, n))
+    total = F.length(F.concat_ws(" ", _tokens_arr(text)))
+    zero = F.lit(0).cast("long")
+    state0 = F.struct(
+        F.lit("").alias("prev"),
+        zero.alias("run"),
+        zero.alias("best"),
+        zero.alias("best_chars"),
+    )
+
+    def _step(acc, g):
+        run = (
+            F.when(g == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+        )
+        better = run > acc["best"]
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, F.length(g).cast("long"))
+            .otherwise(acc["best_chars"])
+            .alias("best_chars"),
+        )
+
+    res = F.aggregate(grams, state0, _step)
+    frac = F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.least(F.lit(1.0), (res["best"] * res["best_chars"]) / total)
+    )
+    return F.coalesce(frac, F.lit(0.0)).cast("double")
+
+
+def dup_ngram_char_frac_expr(text: Column, n: int) -> Column:
+    """Gopher duplicate-n-gram signal (A1.1, n in {5..10}), under this
+    repo's excess-occurrence convention (the dup_line_char_frac
+    analog): Σ over grams of (count−1) · chars(gram), over the doc's
+    content characters, capped at 1.0 (overlapping duplicates can
+    exceed the denominator; Gopher's positional char mask is the
+    deployment-grade refinement — the filter decision band is the
+    same).  One fold over the sorted gram array: every gram equal to
+    its sorted predecessor adds its own length."""
+    grams = F.array_sort(_ngrams_arr(text, n))
+    total = F.length(F.concat_ws(" ", _tokens_arr(text)))
+    zero = F.lit(0).cast("long")
+    state0 = F.struct(F.lit("").alias("prev"), zero.alias("excess"))
+
+    def _step(acc, g):
+        return F.struct(
+            g.alias("prev"),
+            (
+                acc["excess"]
+                + F.when(g == acc["prev"], F.length(g).cast("long"))
+                .otherwise(zero)
+            ).alias("excess"),
+        )
+
+    res = F.aggregate(grams, state0, _step)
+    frac = F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.least(F.lit(1.0), res["excess"] / total)
+    )
+    return F.coalesce(frac, F.lit(0.0)).cast("double")
+
+
+def ngram_repetition_stats(
+    docs: "DataFrame",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 10),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Per-doc Gopher n-gram repetition signals: top_{n}gram_frac for
+    each n in top_ns, dup_{n}gram_frac for each n in dup_ns — the
+    n-gram half of the A1.1 filter family (repetition_stats carries
+    the line/token half).  Same scale shape: pure per-doc folds, ZERO
+    shuffle, one codegen'd map over the text scan.  6 dp (oracle
+    parity)."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        *[
+            F.round(top_ngram_char_frac_expr(t, n), 6).alias(
+                f"top_{n}gram_frac"
+            )
+            for n in top_ns
+        ],
+        *[
+            F.round(dup_ngram_char_frac_expr(t, n), 6).alias(
+                f"dup_{n}gram_frac"
+            )
+            for n in dup_ns
+        ],
+    )
+
+
 # ---------------------------------------------------------------
 # PII scrubbing (the C4/Dolma-style pre-training hygiene pass)
 # ---------------------------------------------------------------

@@ -1158,3 +1158,371 @@ def test_resize_plan_zero_dims_yield_null_scale(spark):
            for r in multimodal.resize_plan(media).collect()}
     assert got[1][0] is None and got[1][1] == 2.0
     assert got[2] == (1.0, 1.0)
+
+
+# ---------------- decontamination ----------------
+
+
+def test_decontamination_planted(spark):
+    """Eval-set decontamination against hand-computed gram overlap
+    (n=3): exact-count hits, distinct-gram semantics (a repeated
+    contaminated window counts once), tokenizer case/punct folding,
+    and short docs (< n tokens) always clean."""
+    from crawler_spark.ops import decontam
+
+    ev = spark.createDataFrame(
+        [(0, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (10, "x alpha beta gamma y"),        # shares 1 gram
+            (11, "alpha beta gamma delta"),      # shares both grams
+            (12, "nothing shared here at all"),  # clean
+            (13, "ab"),                          # < n tokens: clean
+            (14, "alpha beta gamma alpha beta gamma"),  # dup window: 1
+            (15, "ALPHA, beta; GAMMA!"),         # folding: 1
+        ],
+        "doc_id long, text string",
+    )
+    grams = decontam.eval_ngrams(ev, n=3)
+    got = {
+        r.doc_id: (r.n_hits, r.contaminated)
+        for r in decontam.contamination(train, grams, n=3).collect()
+    }
+    assert got == {
+        10: (1, True),
+        11: (2, True),
+        12: (0, False),
+        13: (0, False),
+        14: (1, True),
+        15: (1, True),
+    }
+    kept = decontam.decontaminate(train, grams, n=3)
+    assert kept.columns == train.columns
+    assert sorted(r.doc_id for r in kept.collect()) == [12, 13]
+
+
+def test_decontamination_broadcasts_eval_side(spark):
+    """The 100 TB shape: the eval-gram consult table rides a
+    broadcast hash join — the training side is never shuffled for
+    the probe."""
+    from crawler_spark.ops import decontam
+
+    ev = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    tr = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        decontam.contamination(tr, decontam.eval_ngrams(ev, n=3), n=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+# ---------------- domain mixture sampling ----------------
+
+
+def test_mixture_rates_hand_computed(spark):
+    """rate_d = min(1, weight-share * budget / tokens_d), against a
+    two-domain hand case under both budget forms; exactly one budget
+    arg is enforced."""
+    from crawler_spark.ops import sampling
+
+    docs = spark.createDataFrame(
+        [(0, "a", "one two  three"), (1, "a", ""), (2, "b", " ".join(["t"] * 6))],
+        "doc_id long, source string, text string",
+    )
+    stats = sampling.domain_stats(docs)
+    got = {r.domain: (r.n_docs, r.n_tokens) for r in stats.collect()}
+    assert got == {"a": (2, 3), "b": (1, 6)}
+
+    weights = spark.createDataFrame(
+        [("a", 1.0), ("b", 1.0)], "domain string, weight double"
+    )
+    rates = {
+        r.domain: r.rate
+        for r in sampling.mixture_rates(stats, weights, token_budget=6).collect()
+    }
+    # a: min(1, .5*6/3) = 1.0 (clamped); b: .5*6/6 = 0.5
+    assert rates["a"] == 1.0 and abs(rates["b"] - 0.5) < 1e-12
+    frac = {
+        r.domain: r.rate
+        for r in sampling.mixture_rates(
+            stats, weights, budget_frac=6 / 9
+        ).collect()
+    }
+    assert frac["a"] == 1.0 and abs(frac["b"] - 0.5) < 1e-12
+    with pytest.raises(ValueError):
+        sampling.mixture_rates(stats, weights)
+    with pytest.raises(ValueError):
+        sampling.mixture_rates(stats, weights, token_budget=6, budget_frac=0.5)
+
+
+def test_sample_mixture_deterministic_and_bounded(spark):
+    """The md5 draw is reproducible (same seed -> byte-identical kept
+    set, the resume guarantee), rate-1 domains keep everything,
+    domains absent from the rates table are dropped, and the realized
+    keep fraction tracks the rate."""
+    from crawler_spark.ops import sampling
+
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 400 else ("all" if i < 420 else "gone"), "w x y")
+         for i in range(440)],
+        "doc_id long, source string, text string",
+    )
+    rates = spark.createDataFrame(
+        [("big", 1.0 / 3.0), ("all", 1.0)], "domain string, rate double"
+    )
+    kept1 = sorted(r.doc_id for r in sampling.sample_mixture(docs, rates, seed=7).collect())
+    kept2 = sorted(r.doc_id for r in sampling.sample_mixture(docs, rates, seed=7).collect())
+    assert kept1 == kept2
+    assert [d for d in kept1 if d >= 420] == []          # absent domain dropped
+    assert [d for d in kept1 if 400 <= d < 420] == list(range(400, 420))
+    n_big = sum(1 for d in kept1 if d < 400)
+    assert 80 <= n_big <= 185                            # ~133 expected at 1/3
+    kept3 = sorted(r.doc_id for r in sampling.sample_mixture(docs, rates, seed=8).collect())
+    assert kept1 != kept3
+
+
+# ---------------- DSIR importance resampling ----------------
+
+
+def _dsir_py_logw(raw, target, B, a=1.0):
+    """Pure-python DSIR oracle: hashed unigram+bigram buckets with
+    multiplicity, Laplace log-ratio, per-doc weight sum."""
+    import hashlib
+    import re
+    from collections import Counter
+    from math import log
+
+    def buckets(text):
+        ts = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        feats = ts + [f"{x} {y}" for x, y in zip(ts, ts[1:])]
+        return Counter(
+            int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % B
+            for f in feats
+        )
+
+    def dist(docs):
+        tot = Counter()
+        for _, t in docs:
+            tot += buckets(t)
+        N = sum(tot.values())
+        return {b: log((tot.get(b, 0) + a) / (N + a * B)) for b in range(B)}
+
+    lp, lq = dist(target), dist(raw)
+    return {
+        d: sum(c * (lp[b] - lq[b]) for b, c in buckets(t).items())
+        for d, t in raw
+    }
+
+
+def test_dsir_weights_match_python_oracle(spark):
+    """importance_weights against an independent pure-python
+    recomputation (same md5 bucketing), and the semantic sanity:
+    target-like raw docs outweigh off-target ones."""
+    from crawler_spark.ops import dsir
+
+    target = [(100, "apple banana apple cherry"), (101, "banana apple")]
+    raw = [
+        (0, "apple banana apple"),          # target-like
+        (1, "zebra quux nebula xylophone"),  # off-target
+        (2, "banana cherry apple banana"),   # target-like
+        (3, ""),                             # featureless: no weight row
+    ]
+    B = 64
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    rdf = spark.createDataFrame(raw, "doc_id long, text string")
+    rc = dsir.doc_bucket_counts(rdf, B)
+    ratio = dsir.bucket_log_ratio(dsir.doc_bucket_counts(tdf, B), rc, B)
+    got = {r.doc_id: r.logw for r in dsir.importance_weights(rc, ratio).collect()}
+    want = _dsir_py_logw(raw, target, B)
+    assert set(got) == {0, 1, 2}  # empty doc 3 has no bucket rows
+    for d in got:
+        assert abs(got[d] - want[d]) < 1e-9, (d, got[d], want[d])
+    assert got[0] > got[1] and got[2] > got[1]
+
+
+def test_dsir_resample_deterministic_topk(spark):
+    """Gumbel top-k: byte-identical across re-runs (resume
+    guarantee), k >= n returns everything, k <= 0 raises, and the
+    physical plan is TakeOrdered — never a global sort."""
+    from crawler_spark.ops import dsir
+
+    w = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(50)], "doc_id long, logw double"
+    )
+    sel = dsir.resample_topk(w, k=10, seed=3)
+    a = sorted(r.doc_id for r in sel.collect())
+    b = sorted(r.doc_id for r in dsir.resample_topk(w, k=10, seed=3).collect())
+    assert a == b and len(a) == 10
+    assert "TakeOrdered" in sel._jdf.queryExecution().executedPlan().toString()
+    assert len(dsir.resample_topk(w, k=99, seed=3).collect()) == 50
+    c = sorted(r.doc_id for r in dsir.resample_topk(w, k=10, seed=4).collect())
+    assert a != c
+    with pytest.raises(ValueError):
+        dsir.resample_topk(w, k=0)
+
+
+def test_dsir_end_to_end_broadcasts_ratio(spark):
+    """dsir_select: the B-row log-ratio table rides a broadcast hash
+    join against the corpus side; bad temperature rejected."""
+    from crawler_spark.ops import dsir
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 5} common text w{i % 3}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    sel = dsir.dsir_select(docs, docs.filter(F.col("doc_id") % 4 == 0),
+                           k=5, n_buckets=32)
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert sel.count() == 5
+    with pytest.raises(ValueError):
+        dsir.dsir_select(docs, docs, k=5, n_buckets=32, temperature=0.0)
+
+
+# ---------------- Gopher n-gram repetition ----------------
+
+
+def test_ngram_repetition_hand_computed(spark):
+    """top/dup n-gram char fractions against hand-worked values:
+    counting, the lexicographic tie-break, the 1.0 cap on
+    overlapping duplicates, excess-occurrence accounting, and the
+    short/empty-doc zeros."""
+    rows = [
+        (0, "a b a b c"),      # top2 'a b' x2: 2*3/9; dup2 excess 3/9
+        (1, "x x x x"),        # top2 'x x' x3: 9/7 -> capped 1.0
+        (2, "b c a b c a"),    # tie 'b c'/'c a' both x2 -> 'b c' wins
+        (3, "hello"),          # 1 token: no 2-grams, frac 0
+        (4, ""),               # no tokens: total 0, frac 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in textstats.ngram_repetition_stats(
+            df, top_ns=(2,), dup_ns=(2,)
+        ).collect()
+    }
+    assert got[0].top_2gram_frac == round(6 / 9, 6)
+    assert got[0].dup_2gram_frac == round(3 / 9, 6)
+    assert got[1].top_2gram_frac == 1.0            # 9/7 capped
+    assert got[1].dup_2gram_frac == round(6 / 7, 6)
+    assert got[2].top_2gram_frac == round(6 / 11, 6)
+    assert got[3].top_2gram_frac == 0.0 and got[3].dup_2gram_frac == 0.0
+    assert got[4].top_2gram_frac == 0.0 and got[4].dup_2gram_frac == 0.0
+
+
+def test_ngram_repetition_zero_shuffle_plan(spark):
+    """The whole signal family is per-doc folds — one codegen'd map
+    over the scan, no Exchange anywhere."""
+    df = spark.createDataFrame(
+        [(0, "a b c d e f g h i j k l")], "doc_id long, text string"
+    )
+    out = textstats.ngram_repetition_stats(df)
+    assert set(out.columns) == {
+        "doc_id", "top_2gram_frac", "top_3gram_frac", "top_4gram_frac",
+        "dup_5gram_frac", "dup_10gram_frac",
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_new_pipeline_ops_survive_null_text(spark):
+    """The documents schema allows NULL text: decontamination,
+    mixture sampling, DSIR, and the n-gram repetition signals must
+    treat a NULL-text doc as featureless/tokenless — never crash,
+    never attribute content to it."""
+    from crawler_spark.ops import decontam, dsir, sampling
+
+    docs = spark.createDataFrame(
+        [(0, "s0", None), (1, "s0", "alpha beta gamma delta epsilon")],
+        "doc_id long, source string, text string",
+    )
+    # decontam: NULL-text doc yields no grams -> clean verdict
+    got = {
+        r.doc_id: (r.n_hits, r.contaminated)
+        for r in decontam.contamination(
+            docs, decontam.eval_ngrams(docs.filter("doc_id = 1"), n=3), n=3
+        ).collect()
+    }
+    assert got[0] == (0, False) and got[1][1] is True
+    # sampling: NULL text counts 0 tokens; the domain still rates
+    stats = {r.domain: r.n_tokens for r in sampling.domain_stats(docs).collect()}
+    assert stats["s0"] == 5
+    rates = spark.createDataFrame([("s0", 1.0)], "domain string, rate double")
+    assert sampling.sample_mixture(docs, rates).count() == 2
+    # dsir: NULL-text doc has no bucket rows -> absent from weights
+    rc = dsir.doc_bucket_counts(docs, 32)
+    ratio = dsir.bucket_log_ratio(
+        dsir.doc_bucket_counts(docs.filter("doc_id = 1"), 32), rc, 32
+    )
+    w = dsir.importance_weights(rc, ratio).collect()
+    assert [r.doc_id for r in w] == [1]
+    # ngram repetition: NULL text -> all-zero signals
+    r0 = {
+        r.doc_id: r
+        for r in textstats.ngram_repetition_stats(
+            docs, top_ns=(2,), dup_ns=(2,)
+        ).collect()
+    }[0]
+    assert r0.top_2gram_frac == 0.0 and r0.dup_2gram_frac == 0.0
+
+
+def test_decontam_randomized_python_oracle(spark):
+    """Randomized gate (seeded): 200 docs over a 6-word alphabet (so
+    3-gram collisions are common), eval slice = every 7th doc —
+    per-doc distinct-shared-gram counts must equal a pure-python
+    recomputation for every doc."""
+    import random
+
+    from crawler_spark.ops import decontam
+
+    rng = random.Random(42)
+    words = ["ant", "bee", "cat", "dog", "elk", "fox"]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 12))))
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = docs.filter("doc_id % 7 = 0")
+    tr = docs.filter("doc_id % 7 != 0")
+    got = {
+        r.doc_id: r.n_hits
+        for r in decontam.contamination(tr, decontam.eval_ngrams(ev, n=3), n=3)
+        .collect()
+    }
+
+    def grams(t):
+        ts = t.split()
+        return {" ".join(ts[i:i + 3]) for i in range(len(ts) - 2)}
+
+    ev_g = set().union(*(grams(t) for i, t in rows if i % 7 == 0))
+    for i, t in rows:
+        if i % 7 != 0:
+            assert got[i] == len(grams(t) & ev_g), (i, t)
+
+
+def test_sample_mixture_randomized_python_oracle(spark):
+    """Randomized gate (seeded): the kept set must equal a pure-
+    python md5 recomputation of the draw for every doc across three
+    domains with distinct rates."""
+    import hashlib
+
+    from crawler_spark.ops import sampling
+
+    rows = [(i, f"d{i % 3}", "x y z") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    rates = {"d0": 0.25, "d1": 0.75, "d2": 1.0}
+    rdf = spark.createDataFrame(list(rates.items()), "domain string, rate double")
+    kept = sorted(
+        r.doc_id for r in sampling.sample_mixture(docs, rdf, seed=5).collect()
+    )
+
+    def keep(i):
+        r = rates[f"d{i % 3}"]
+        if r >= 1.0:
+            return True
+        draw = hashlib.md5(f"{i}:5".encode()).hexdigest()[:8]
+        thr = format(int(r * (1 << 32)), "08x")
+        return draw < thr
+
+    assert kept == [i for i in range(300) if keep(i)]
