@@ -150,8 +150,22 @@ def main() -> None:
         spark, sf_dir).count())
     pbench("p3_domain_mixture", lambda: contract.q_domain_mixture(
         spark, sf_dir).count())
-    pbench("p4_dsir", lambda: contract.q_dsir_importance(
-        spark, sf_dir).count())
+    # p4 uses the release shape (one scan+explode per corpus); the
+    # driver-owned contract query stays fully lazy like q6's
+    def q_dsir():
+        from crawler_spark.ops import dsir
+
+        release: list = []
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n = dsir.dsir_select(
+            docs, docs.filter(F.col("lang") == "en"), k=100,
+            n_buckets=4096, smoothing=1.0, seed=17, release=release,
+        ).count()
+        for f in release:
+            f.unpersist()
+        return n
+
+    pbench("p4_dsir", q_dsir)
     pbench("p5_ngram_repetition", lambda: contract.q_ngram_repetition(
         spark, sf_dir).count())
     extras["pipeline"] = pipeline

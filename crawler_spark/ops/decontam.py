@@ -34,12 +34,14 @@ from pyspark.sql import functions as F
 from .textstats import _tokens_arr
 
 
-def ngram_keys(text: Column, n: int) -> Column:
-    """Distinct md5 keys of all word n-grams of `text`, as one
-    per-row array expression (tokens lowercased, split on non-alnum —
-    the corpus-wide token convention of ops/textstats).  Docs with
-    fewer than n tokens yield an empty array."""
-    toks = _tokens_arr(text)
+def _ngram_keys_from_tokens(toks: Column, n: int) -> Column:
+    """Distinct md5 keys of all word n-grams from a token-array
+    column.  `toks` MUST be a projected attribute: the window slice
+    inside the lambda references the outer array, and a non-attribute
+    outer reference re-evaluates its whole expression per element
+    (higher-order functions are interpreted — no subexpression
+    reuse), turning tokenization O(tokens) into O(tokens²) per doc.
+    Docs with fewer than n tokens yield an empty array."""
     cnt = F.size(toks) - (n - 1)
     # sequence(1, 0) would generate a DESCENDING [1, 0] in Spark —
     # guard short docs explicitly.
@@ -51,6 +53,14 @@ def ngram_keys(text: Column, n: int) -> Column:
     )
 
 
+def ngram_keys(text: Column, n: int) -> Column:
+    """Distinct md5 keys of all word n-grams of `text` (tokens
+    lowercased, split on non-alnum — the corpus-wide convention of
+    ops/textstats).  Thin text-level wrapper; hot paths project the
+    token array first (see _ngram_keys_from_tokens)."""
+    return _ngram_keys_from_tokens(_tokens_arr(text), n)
+
+
 def eval_ngrams(
     eval_docs: DataFrame, n: int = 13, text_col: str = "text"
 ) -> DataFrame:
@@ -58,7 +68,8 @@ def eval_ngrams(
     corpus, one column `g`.  Built once per benchmark release, reused
     for every training batch."""
     return (
-        eval_docs.select(F.explode(ngram_keys(F.col(text_col), n)).alias("g"))
+        eval_docs.select(_tokens_arr(F.col(text_col)).alias("_ts"))
+        .select(F.explode(_ngram_keys_from_tokens(F.col("_ts"), n)).alias("g"))
         .distinct()
     )
 
@@ -83,7 +94,10 @@ def contamination(
     if broadcast_eval:
         ev = F.broadcast(ev)
     grams = docs.select(
-        F.col(id_col), F.explode(ngram_keys(F.col(text_col), n)).alias("g")
+        F.col(id_col), _tokens_arr(F.col(text_col)).alias("_ts")
+    ).select(
+        F.col(id_col),
+        F.explode(_ngram_keys_from_tokens(F.col("_ts"), n)).alias("g"),
     )
     hits = grams.join(ev, "g").groupBy(id_col).agg(
         F.count("*").alias("n_hits")

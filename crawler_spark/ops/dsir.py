@@ -53,25 +53,40 @@ def _bucket(feature: Column, n_buckets: int) -> Column:
     )
 
 
-def hashed_ngram_features(text: Column, n_buckets: int) -> Column:
-    """Array of hashed unigram+bigram bucket ids of `text` (with
-    multiplicity — DSIR counts occurrences, not presence).  Tokens
-    are the corpus-wide [a-z0-9]+ convention; bigrams are the space-
-    joined consecutive pairs."""
-    toks = _tokens_arr(text)
-    n = F.size(toks)
-    bi_idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
-        F.array().cast("array<int>")
+def _features_from_tokens(ts: Column, n_buckets: int) -> Column:
+    """Hashed unigram+bigram bucket ids (with multiplicity — DSIR
+    counts occurrences, not presence) from a token-array column.
+
+    `ts` MUST be a projected attribute (a real column), not an inline
+    expression: a lambda that references an outer NON-attribute array
+    re-evaluates that whole expression per element (higher-order
+    functions are interpreted, no common-subexpression reuse), turning
+    tokenization O(tokens) into O(tokens²) per doc — measured 9× on
+    the bucket-count pass.  Bigrams therefore come from zip_with of
+    the array against its own shift (both evaluated ONCE as HOF
+    arguments; the lambda touches only its element variables)."""
+    n = F.size(ts)
+    shifted = F.when(n >= 2, F.slice(ts, 2, n - 1)).otherwise(
+        F.array().cast("array<string>")
     )
-    bigrams = F.transform(
-        bi_idx,
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-        ),
+    bigrams = F.array_compact(
+        F.zip_with(
+            ts,
+            shifted,
+            lambda a, b: F.when(b.isNotNull(), F.concat(a, F.lit(" "), b)),
+        )
     )
     return F.transform(
-        F.concat(toks, bigrams), lambda f: _bucket(f, n_buckets)
+        F.concat(ts, bigrams), lambda f: _bucket(f, n_buckets)
     )
+
+
+def hashed_ngram_features(text: Column, n_buckets: int) -> Column:
+    """Array of hashed unigram+bigram bucket ids of `text`.  Tokens
+    are the corpus-wide [a-z0-9]+ convention; bigrams the space-
+    joined consecutive pairs.  Thin text-level wrapper — hot paths
+    project the token array first (see _features_from_tokens)."""
+    return _features_from_tokens(_tokens_arr(text), n_buckets)
 
 
 def doc_bucket_counts(
@@ -81,13 +96,18 @@ def doc_bucket_counts(
     text_col: str = "text",
 ) -> DataFrame:
     """(id_col, bucket, c) — exact long occurrence counts of each
-    hashed feature bucket per document.  One narrow explode + one
+    hashed feature bucket per document.  Tokenize once into a
+    projected column (CollapseProject keeps a multiply-referenced
+    non-cheap alias projected), then one narrow explode + one
     map-side-combined groupBy."""
+    toks = docs.select(
+        F.col(id_col), _tokens_arr(F.col(text_col)).alias("_ts")
+    )
     return (
-        docs.select(
+        toks.select(
             F.col(id_col),
             F.explode(
-                hashed_ngram_features(F.col(text_col), n_buckets)
+                _features_from_tokens(F.col("_ts"), n_buckets)
             ).alias("bucket"),
         )
         .groupBy(id_col, "bucket")
@@ -100,39 +120,54 @@ def bucket_log_ratio(
     raw_counts: DataFrame,
     n_buckets: int,
     smoothing: float = 1.0,
+    release: list | None = None,
 ) -> DataFrame:
     """(bucket, r) for EVERY bucket in [0, n_buckets): r = ln p̂ −
     ln q̂ with Laplace smoothing, p̂ from the target corpus counts, q̂
     from the raw corpus counts.  Inputs are (…, bucket, c) frames
     (doc granularity fine — they are re-summed here).  Everything is
     dimension-sized: two B-row aggregates, two 1-row totals riding
-    broadcast cross joins."""
+    broadcast cross joins.
+
+    Materialization contract (each B-row per-bucket aggregate feeds
+    BOTH its own total and the range join — without help the whole
+    upstream corpus scan+explode+agg runs once per branch, the same
+    measured non-reuse as ops/dedup.exact_dedup): `release=<list>`
+    persists the two B-row frames and appends them for the caller to
+    unpersist after its ONE downstream action; `release=None` stays
+    fully lazy (driver-owned contract queries)."""
     spark = target_counts.sparkSession
     a = float(smoothing)
+    per_t = target_counts.groupBy("bucket").agg(F.sum("c").alias("nt"))
+    per_r = raw_counts.groupBy("bucket").agg(F.sum("c").alias("nr"))
+    if release is not None:
+        per_t, per_r = per_t.persist(), per_r.persist()
+        release.extend([per_t, per_r])
+    tot_t = per_t.agg(F.sum("nt").alias("tt"))
+    tot_r = per_r.agg(F.sum("nr").alias("tr"))
 
-    def dist(counts: DataFrame, out: str) -> DataFrame:
-        # total under a distinct name: Spark's default resolver is
-        # case-insensitive, so "N" would collide with "n"
-        per_b = counts.groupBy("bucket").agg(F.sum("c").alias("n"))
-        tot = per_b.agg(F.sum("n").alias("n_total"))
-        return (
-            spark.range(n_buckets)
-            .select(F.col("id").alias("bucket"))
-            .join(per_b, "bucket", "left")
-            .crossJoin(F.broadcast(tot))
-            .select(
-                "bucket",
-                F.log(
-                    (F.coalesce(F.col("n"), F.lit(0)) + F.lit(a))
-                    / (F.col("n_total") + F.lit(a * n_buckets))
-                ).alias(out),
-            )
+    def _logp(n: Column, total: Column) -> Column:
+        return F.log(
+            (F.coalesce(n, F.lit(0)) + F.lit(a))
+            / (total + F.lit(a * n_buckets))
         )
 
+    # one B-row spine with both count columns — a dist-per-side form
+    # would pay an extra B-row join and exchange for nothing
     return (
-        dist(target_counts, "lp")
-        .join(dist(raw_counts, "lq"), "bucket")
-        .select("bucket", (F.col("lp") - F.col("lq")).alias("r"))
+        spark.range(n_buckets)
+        .select(F.col("id").alias("bucket"))
+        .join(per_t, "bucket", "left")
+        .join(per_r, "bucket", "left")
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_r))
+        .select(
+            "bucket",
+            (
+                _logp(F.col("nt"), F.col("tt"))
+                - _logp(F.col("nr"), F.col("tr"))
+            ).alias("r"),
+        )
     )
 
 
@@ -201,14 +236,27 @@ def dsir_select(
     temperature: float = 1.0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    release: list | None = None,
 ) -> DataFrame:
     """End-to-end DSIR: (id_col, logw, key) of the k raw documents
     selected for target-domain training.  math.isfinite guards the
-    knobs once so a NaN temperature can't silently scramble ranks."""
+    knobs once so a NaN temperature can't silently scramble ranks.
+
+    `release=<list>` persists the raw (doc, bucket) counts — they
+    feed BOTH the q̂ distribution and the scoring join, so without it
+    the raw corpus is scanned+exploded once per branch — plus the two
+    B-row per-bucket frames; the caller unpersists after its ONE
+    downstream action (the one-scan-per-corpus 100 TB shape).
+    `release=None` stays fully lazy."""
     if not (math.isfinite(temperature) and temperature > 0):
         raise ValueError(f"temperature must be finite positive: {temperature}")
     raw_counts = doc_bucket_counts(raw_docs, n_buckets, id_col, text_col)
+    if release is not None:
+        raw_counts = raw_counts.persist()
+        release.append(raw_counts)
     tgt_counts = doc_bucket_counts(target_docs, n_buckets, id_col, text_col)
-    ratio = bucket_log_ratio(tgt_counts, raw_counts, n_buckets, smoothing)
+    ratio = bucket_log_ratio(
+        tgt_counts, raw_counts, n_buckets, smoothing, release=release
+    )
     w = importance_weights(raw_counts, ratio, id_col)
     return resample_topk(w, k, seed, temperature, id_col)

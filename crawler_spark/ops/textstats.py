@@ -359,11 +359,14 @@ def repetition_stats(
     )
 
 
-def _ngrams_arr(text: Column, n: int) -> Column:
-    """Array of space-joined word n-grams of `text` (tokens by the
-    corpus-wide [a-z0-9]+ convention); empty for docs with < n
-    tokens.  One higher-order expression, no explode."""
-    toks = _tokens_arr(text)
+def _ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """Array of space-joined word n-grams from a token-array column;
+    empty for docs with < n tokens.  `toks` MUST be a projected
+    attribute: the window slice inside the lambda references the
+    outer array, and a non-attribute outer reference re-evaluates its
+    whole expression per element (higher-order functions are
+    interpreted — no subexpression reuse), turning tokenization
+    O(tokens) into O(tokens²) per doc."""
     cnt = F.size(toks) - (n - 1)
     idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(
         F.array().cast("array<int>")
@@ -371,16 +374,24 @@ def _ngrams_arr(text: Column, n: int) -> Column:
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
 
 
-def top_ngram_char_frac_expr(text: Column, n: int) -> Column:
+def _ngrams_arr(text: Column, n: int) -> Column:
+    """Text-level wrapper of _ngrams_from_tokens (tokens by the
+    corpus-wide [a-z0-9]+ convention); hot paths project the token
+    array first."""
+    return _ngrams_from_tokens(_tokens_arr(text), n)
+
+
+def top_ngram_char_frac_from_tokens(toks: Column, n: int) -> Column:
     """Gopher top-n-gram signal (Rae et al. 2021 A1.1, n in {2,3,4}):
     fraction of the doc's content characters contained in the single
     most frequent word n-gram — occurrences(top) · chars(top) /
     chars(space-joined tokens).  Ties break to the lexicographically
     FIRST gram (run-length scan over the sorted gram array updates on
     strictly-greater only; the DuckDB mirror arg-mins (c desc, g
-    asc)).  Pure per-doc fold: O(g log g), no explode, no shuffle."""
-    grams = F.array_sort(_ngrams_arr(text, n))
-    total = F.length(F.concat_ws(" ", _tokens_arr(text)))
+    asc)).  Pure per-doc fold over a projected token column:
+    O(g log g), no explode, no shuffle."""
+    grams = F.array_sort(_ngrams_from_tokens(toks, n))
+    total = F.length(F.concat_ws(" ", toks))
     zero = F.lit(0).cast("long")
     state0 = F.struct(
         F.lit("").alias("prev"),
@@ -411,17 +422,23 @@ def top_ngram_char_frac_expr(text: Column, n: int) -> Column:
     return F.coalesce(frac, F.lit(0.0)).cast("double")
 
 
-def dup_ngram_char_frac_expr(text: Column, n: int) -> Column:
+def top_ngram_char_frac_expr(text: Column, n: int) -> Column:
+    """Text-level wrapper of top_ngram_char_frac_from_tokens."""
+    return top_ngram_char_frac_from_tokens(_tokens_arr(text), n)
+
+
+def dup_ngram_char_frac_from_tokens(toks: Column, n: int) -> Column:
     """Gopher duplicate-n-gram signal (A1.1, n in {5..10}), under this
     repo's excess-occurrence convention (the dup_line_char_frac
     analog): Σ over grams of (count−1) · chars(gram), over the doc's
     content characters, capped at 1.0 (overlapping duplicates can
     exceed the denominator; Gopher's positional char mask is the
     deployment-grade refinement — the filter decision band is the
-    same).  One fold over the sorted gram array: every gram equal to
-    its sorted predecessor adds its own length."""
-    grams = F.array_sort(_ngrams_arr(text, n))
-    total = F.length(F.concat_ws(" ", _tokens_arr(text)))
+    same).  One fold over the sorted gram array (projected token
+    column): every gram equal to its sorted predecessor adds its own
+    length."""
+    grams = F.array_sort(_ngrams_from_tokens(toks, n))
+    total = F.length(F.concat_ws(" ", toks))
     zero = F.lit(0).cast("long")
     state0 = F.struct(F.lit("").alias("prev"), zero.alias("excess"))
 
@@ -442,6 +459,11 @@ def dup_ngram_char_frac_expr(text: Column, n: int) -> Column:
     return F.coalesce(frac, F.lit(0.0)).cast("double")
 
 
+def dup_ngram_char_frac_expr(text: Column, n: int) -> Column:
+    """Text-level wrapper of dup_ngram_char_frac_from_tokens."""
+    return dup_ngram_char_frac_from_tokens(_tokens_arr(text), n)
+
+
 def ngram_repetition_stats(
     docs: "DataFrame",
     top_ns: tuple = (2, 3, 4),
@@ -453,19 +475,24 @@ def ngram_repetition_stats(
     each n in top_ns, dup_{n}gram_frac for each n in dup_ns — the
     n-gram half of the A1.1 filter family (repetition_stats carries
     the line/token half).  Same scale shape: pure per-doc folds, ZERO
-    shuffle, one codegen'd map over the text scan.  6 dp (oracle
-    parity)."""
-    t = F.col(text_col)
-    return docs.select(
+    shuffle, still one map over the text scan — tokenization happens
+    ONCE into a projected column shared by every signal (a lambda
+    referencing an inline outer array would re-tokenize per element,
+    O(tokens²) per doc per signal).  6 dp (oracle parity)."""
+    toks = docs.select(
+        F.col(id_col), _tokens_arr(F.col(text_col)).alias("_ts")
+    )
+    ts = F.col("_ts")
+    return toks.select(
         F.col(id_col),
         *[
-            F.round(top_ngram_char_frac_expr(t, n), 6).alias(
+            F.round(top_ngram_char_frac_from_tokens(ts, n), 6).alias(
                 f"top_{n}gram_frac"
             )
             for n in top_ns
         ],
         *[
-            F.round(dup_ngram_char_frac_expr(t, n), 6).alias(
+            F.round(dup_ngram_char_frac_from_tokens(ts, n), 6).alias(
                 f"dup_{n}gram_frac"
             )
             for n in dup_ns

@@ -1526,3 +1526,21 @@ def test_sample_mixture_randomized_python_oracle(spark):
         return draw < thr
 
     assert kept == [i for i in range(300) if keep(i)]
+
+
+def test_tokenize_once_projection_survives_optimizer(spark):
+    """The O(tokens²) guard: every n-gram op tokenizes ONCE into a
+    projected `_ts` attribute that the window/zip lambdas reference —
+    if CollapseProject ever inlined the alias back into the lambdas
+    (re-tokenizing per element, measured 9-14x on the DSIR feature
+    pass), the alias would vanish from the optimized plan."""
+    from crawler_spark.ops import decontam, dsir
+
+    docs = spark.createDataFrame([(0, "a b c d e f")], "doc_id long, text string")
+    for df in (
+        dsir.doc_bucket_counts(docs, 16),
+        decontam.contamination(docs, decontam.eval_ngrams(docs, n=3), n=3),
+        textstats.ngram_repetition_stats(docs),
+    ):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "_ts" in plan
