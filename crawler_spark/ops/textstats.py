@@ -274,6 +274,8 @@ def corpus_filter(
     max_dup_line_char_frac: float = 0.2,
     max_top_token_frac: float = 0.2,
     min_stopwords: int = 2,
+    max_top_ngram_frac: dict | None = None,
+    max_dup_ngram_frac: dict | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> "DataFrame":
@@ -290,13 +292,35 @@ def corpus_filter(
     losses. Pure column expressions over the ONE text pass (codegen;
     all the scores — including the repetition signals, expressed
     per-doc with higher-order array functions — share the scan; no
-    shuffle anywhere)."""
+    shuffle anywhere).
+
+    `max_top_ngram_frac` / `max_dup_ngram_frac` (off by default)
+    extend 'repetition' with the A1.1 n-gram half as {n: threshold}
+    maps — Gopher's published values are top {2: .20, 3: .18,
+    4: .16} and dup {5: .15 … 10: .10}.  When enabled, the gate
+    tokenizes ONCE into a projected column shared by every n (the
+    tokenize-once rule — an inline outer array inside the fold
+    lambdas would re-tokenize per element); the default plan is
+    bit-unchanged."""
     t = F.col(text_col)
     repetitive = (
         (dup_line_frac_expr(t) > max_dup_line_frac)
         | (dup_line_char_frac_expr(t) > max_dup_line_char_frac)
         | (top_token_frac_expr(t) > max_top_token_frac)
     )
+    if max_top_ngram_frac or max_dup_ngram_frac:
+        docs = docs.select(
+            F.col(id_col), t, _tokens_arr(t).alias("_ts")
+        )
+        ts = F.col("_ts")
+        for n, thr in (max_top_ngram_frac or {}).items():
+            repetitive = repetitive | (
+                top_ngram_char_frac_from_tokens(ts, n) > thr
+            )
+        for n, thr in (max_dup_ngram_frac or {}).items():
+            repetitive = repetitive | (
+                dup_ngram_char_frac_from_tokens(ts, n) > thr
+            )
     reason = (
         # coalesce: NULL text (the schema allows it) must classify as
         # 'short' deterministically — under ANSI null-propagation the

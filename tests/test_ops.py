@@ -1544,3 +1544,38 @@ def test_tokenize_once_projection_survives_optimizer(spark):
     ):
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert "_ts" in plan
+
+
+def test_corpus_filter_ngram_thresholds(spark):
+    """The optional A1.1 n-gram half of the admission gate: a doc
+    whose repeated BIGRAM trips the top-2-gram threshold while every
+    individual token stays under the top-token threshold is dropped
+    as 'repetition' only when the n-gram knobs are on; the default
+    gate's verdicts are byte-identical with the knobs absent."""
+    # 'red fox' x2 of 16 tokens: top token 2/16 = 0.125 <= 0.2, but
+    # top-2-gram chars 2*7/63 = 0.222 > 0.20
+    planted = (
+        "red fox uno dos tre qua cin six red fox sev oct nue die alf bet"
+    )
+    docs = spark.createDataFrame(
+        [(0, planted), (1, "the cat and the dog are in the big house now")],
+        "doc_id long, text string",
+    )
+    on = {
+        r.doc_id: (r.keep, r.reason)
+        for r in textstats.corpus_filter(
+            docs,
+            max_top_ngram_frac={2: 0.20, 3: 0.18, 4: 0.16},
+            max_dup_ngram_frac={5: 0.15, 10: 0.10},
+        ).collect()
+    }
+    assert on[0] == (False, "repetition")
+    off = {
+        r.doc_id: (r.keep, r.reason)
+        for r in textstats.corpus_filter(docs).collect()
+    }
+    assert off[0][1] != "repetition"
+    assert on[1] == off[1]  # clean prose unaffected by the knobs
+    assert set(
+        textstats.corpus_filter(docs, max_top_ngram_frac={2: 0.2}).columns
+    ) == {"doc_id", "keep", "reason"}
