@@ -115,6 +115,122 @@ def contamination(
     )
 
 
+def gram_bucket(col: Column, n_buckets: int) -> Column:
+    """Bucket a gram KEY by its own hash (grams have no host — the
+    seen layer's host bucketing would put every md5 key in one
+    bucket).  Must be passed as bucket_expr on BOTH the build and
+    probe sides."""
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("long")
+
+
+def eval_gram_filters(
+    eval_grams: DataFrame, n_buckets: int = 64, bits_per_key: int = 12
+) -> DataFrame:
+    """Partitioned bloom filters over the eval gram keys — the
+    consult table's deployment form when the benchmark suite outgrows
+    broadcast: ~bits_per_key bits per gram vs ~32 bytes of exact md5
+    row (a 10^8-gram suite is ~150 MB of bloom vs ~3 GB of exact
+    keys).  Reuses the frontier seen-layer machinery (same blob
+    schema, broadcast or executor-side bucket delivery)."""
+    from .. import seen
+
+    return seen.build_seen_filters(
+        eval_grams.select(F.col("g").alias("url")),
+        n_buckets=n_buckets,
+        bits_per_key=bits_per_key,
+        kind="bloom",
+        bucket_expr=gram_bucket,
+    )
+
+
+def contamination_prefilter(
+    docs: DataFrame,
+    gram_filters: DataFrame,
+    n: int = 13,
+    n_buckets: int = 64,
+    filters_path: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_col, maybe_contaminated): bloom-probe every training doc's
+    gram keys — NO false negatives (a truly contaminated doc is
+    always flagged; bloom FPs only ever flag extra docs).  One Arrow
+    map over the exploded gram stream, zero shuffles before the
+    per-doc any() agg; with `filters_path` each executor pulls only
+    the filter buckets its rows hash to."""
+    from .. import seen
+
+    grams = docs.select(
+        F.col(id_col), _tokens_arr(F.col(text_col)).alias("_ts")
+    ).select(
+        F.col(id_col),
+        F.explode(_ngram_keys_from_tokens(F.col("_ts"), n)).alias("url"),
+    )
+    probed = seen.probe_seen(
+        grams,
+        gram_filters,
+        n_buckets=n_buckets,
+        kind="bloom",
+        filters_path=filters_path,
+        bucket_expr=gram_bucket,
+    )
+    hits = probed.groupBy(id_col).agg(
+        F.max("maybe_seen").alias("maybe_contaminated")
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("maybe_contaminated"), F.lit(False)).alias(
+                "maybe_contaminated"
+            ),
+        )
+    )
+
+
+def contamination_two_stage(
+    docs: DataFrame,
+    eval_grams: DataFrame,
+    gram_filters: DataFrame,
+    n: int = 13,
+    n_buckets: int = 64,
+    filters_path: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT contamination verdicts at bloom cost: the prefilter
+    clears the overwhelmingly-clean corpus map-side (no false
+    negatives), and only the maybe-contaminated sliver re-grams into
+    the exact broadcast join.  Output equals contamination() row for
+    row — gated by test_decontam_two_stage_equals_exact.  At 100 TB
+    this is the shape to run: the exact gram table only ever joins
+    against bloom survivors (FP-rate-bounded, ~0.1% at 12 bits/key),
+    so the explode the exact path pays is survivor-sized."""
+    pre = contamination_prefilter(
+        docs, gram_filters, n, n_buckets, filters_path, id_col, text_col
+    )
+    maybe_ids = pre.filter(F.col("maybe_contaminated")).select(id_col)
+    checked = contamination(
+        docs.join(maybe_ids, id_col, "left_semi"),
+        eval_grams,
+        n,
+        id_col,
+        text_col,
+    )
+    return (
+        pre.select(id_col)
+        .join(checked, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+            F.coalesce(F.col("contaminated"), F.lit(False)).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     eval_grams: DataFrame,

@@ -229,9 +229,14 @@ def build_seen_filters(
     n_buckets: int = 64,
     bits_per_key: int = 10,
     kind: str = "bloom",
+    bucket_expr=None,
 ) -> DataFrame:
     """One filter row per host-hash bucket. groupBy(bucket) is the only
-    shuffle; each group builds its filter in one vectorized pass."""
+    shuffle; each group builds its filter in one vectorized pass.
+
+    `bucket_expr(col, n_buckets)` overrides the partitioning key for
+    non-url key sets (e.g. ops/decontam's gram blooms bucket by the
+    key's own hash — grams have no host); default unchanged."""
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         bucket = int(pdf["bucket"].iloc[0])
@@ -269,7 +274,8 @@ def build_seen_filters(
         )
 
     with_bucket = seen_urls.select(
-        "url", url_bucket(F.col("url"), n_buckets).alias("bucket")
+        "url",
+        (bucket_expr or url_bucket)(F.col("url"), n_buckets).alias("bucket"),
     )
     return with_bucket.groupBy("bucket").applyInPandas(build, schema=FILTERS_SCHEMA)
 
@@ -337,8 +343,11 @@ def probe_seen(
     n_buckets: int = 64,
     kind: str = "bloom",
     filters_path: str | None = None,
+    bucket_expr=None,
 ) -> DataFrame:
     """candidates(url, ...) -> same + boolean `maybe_seen`.
+    `bucket_expr` must match the build-side override when the filter
+    set was built over non-url keys (default unchanged).
 
     Blob delivery, two modes — NEVER a row join (joining blobs onto
     candidates copies each bucket's kilobytes into every matching row,
@@ -361,7 +370,7 @@ def probe_seen(
     # through untouched, not be silently rewritten to the seen
     # layer's value
     cand = candidates.withColumn(
-        "_seen_bucket", url_bucket(F.col("url"), n_buckets)
+        "_seen_bucket", (bucket_expr or url_bucket)(F.col("url"), n_buckets)
     )
     cols = list(candidates.columns)
     if "maybe_seen" in cols:

@@ -1579,3 +1579,48 @@ def test_corpus_filter_ngram_thresholds(spark):
     assert set(
         textstats.corpus_filter(docs, max_top_ngram_frac={2: 0.2}).columns
     ) == {"doc_id", "keep", "reason"}
+
+
+def test_decontam_two_stage_equals_exact(spark):
+    """The bloom prefilter has no false negatives, so the two-stage
+    (bloom -> exact-on-survivors) verdicts must equal the pure exact
+    path row for row — on a randomized corpus with planted
+    contamination, and the prefilter must flag every truly
+    contaminated doc."""
+    import random
+
+    from crawler_spark.ops import decontam
+
+    rng = random.Random(7)
+    words = ["ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hog"]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 15))))
+        for i in range(250)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = docs.filter("doc_id % 9 = 0")
+    tr = docs.filter("doc_id % 9 != 0")
+    grams = decontam.eval_ngrams(ev, n=3)
+    filters = decontam.eval_gram_filters(grams, n_buckets=8)
+
+    exact = {
+        r.doc_id: (r.n_hits, r.contaminated)
+        for r in decontam.contamination(tr, grams, n=3).collect()
+    }
+    two = {
+        r.doc_id: (r.n_hits, r.contaminated)
+        for r in decontam.contamination_two_stage(
+            tr, grams, filters, n=3, n_buckets=8
+        ).collect()
+    }
+    assert two == exact
+    pre = {
+        r.doc_id: r.maybe_contaminated
+        for r in decontam.contamination_prefilter(
+            tr, filters, n=3, n_buckets=8
+        ).collect()
+    }
+    assert set(pre) == set(exact)
+    for d, (_, contaminated) in exact.items():
+        if contaminated:
+            assert pre[d], f"bloom false negative on doc {d}"
