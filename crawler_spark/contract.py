@@ -30,6 +30,7 @@ from . import frontier as frontier_mod
 from .functions import extract as extract_mod
 from .functions.extract import is_valid_url, url_host
 from .ops import (
+    classifier,
     decontam,
     dedup,
     dsir,
@@ -700,6 +701,26 @@ def q_ngram_repetition(spark, sf_dir):
     return textstats.ngram_repetition_stats(docs)
 
 
+def q_classifier_score(spark, sf_dir):
+    """fastText-style linear quality classifier SCORING path
+    (ops/classifier.classifier_scores) under deterministic md5
+    synthetic weights (B=512, bias 0.1), so the whole scoring plan —
+    tokenize-once hashed unigram+bigram features, per-doc mean
+    normalization carried through the count aggregate, broadcast
+    B-row weight join, per-doc margin agg, featureless docs at the
+    bias — is SQL-checked without shipping a trained model.  Doubles
+    at 4dp (the logit is a cross-partition double sum — the
+    dsir_importance convention)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = classifier.synthetic_weights_df(spark, 512)
+    s = classifier.classifier_scores(docs, w, bias=0.1, n_buckets=512)
+    return s.select(
+        "doc_id",
+        F.round("logit", 4).alias("logit"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def q_dsir_importance(spark, sf_dir):
     """DSIR hashed-n-gram importance resampling (ops/dsir.dsir_select):
     target = the corpus' English slice, raw = the whole corpus; the
@@ -952,6 +973,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontamination": q_decontamination,
     "domain_mixture": q_domain_mixture,
     "dsir_importance": q_dsir_importance,
+    "classifier_score": q_classifier_score,
     "ngram_repetition": q_ngram_repetition,
     "mm_frame_plan": q_mm_frame_plan,
     "mm_resize_plan": q_mm_resize_plan,
@@ -1690,6 +1712,46 @@ select doc_id, round(logw, 4) as logw, round(key, 4) as key
 from ds_key
 order by key desc, doc_id asc
 limit 100
+""",
+    # mirrors q_classifier_score / ops/classifier exactly: [a-z0-9]+
+    # tokens, unigram+bigram features WITH multiplicity, 32-bit md5
+    # bucket % 512, per-doc mean normalization (total feature count),
+    # md5 synthetic weights in [-0.5, 0.5), bias 0.1, sigmoid from
+    # the UNROUNDED logit; doubles at 4dp
+    "classifier_score": """
+with cs_toks as (
+  select doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') as ts
+  from documents
+), cs_feats as (
+  select doc_id, f from (
+    select doc_id, unnest(ts) as f from cs_toks
+    union all
+    select doc_id, ts[i] || ' ' || ts[i + 1] as f
+    from cs_toks, unnest(generate_series(1, len(ts) - 1)) as s(i)
+  )
+), cs_bc as (
+  select doc_id,
+         ('0x' || substring(md5(f), 1, 8))::bigint % 512 as bucket,
+         count(*)::bigint as c
+  from cs_feats group by 1, 2
+), cs_x as (
+  select doc_id, bucket,
+         c::double / sum(c) over (partition by doc_id) as x
+  from cs_bc
+), cs_w as (
+  select bucket,
+         ((('0x' || substring(md5(bucket::varchar || ':w'), 1, 8))::bigint
+           ::double) / 4294967296.0 - 0.5) as w
+  from (select unnest(generate_series(0, 511)) as bucket)
+), cs_m as (
+  select x.doc_id, sum(x.x * w.w) as s
+  from cs_x x join cs_w w using (bucket)
+  group by 1
+)
+select d.doc_id,
+       round(coalesce(m.s, 0.0) + 0.1, 4) as logit,
+       round(1.0 / (1.0 + exp(-(coalesce(m.s, 0.0) + 0.1))), 4) as score
+from documents d left join cs_m m using (doc_id)
 """,
     "dedup_incremental_exact": """
 with fp as (select doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) f
