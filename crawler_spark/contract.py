@@ -30,6 +30,7 @@ from . import frontier as frontier_mod
 from .functions import extract as extract_mod
 from .functions.extract import is_valid_url, url_host
 from .ops import (
+    bpe,
     classifier,
     decontam,
     dedup,
@@ -701,6 +702,21 @@ def q_ngram_repetition(spark, sf_dir):
     return textstats.ngram_repetition_stats(docs)
 
 
+def q_bpe_token_counts(spark, sf_dir):
+    """BPE tokenizer trained on the corpus (ops/bpe.train_bpe: one
+    distributed word count capped by TakeOrdered, driver merge
+    learning), then exact per-doc token counts under the learned
+    vocabulary via the memoized Arrow encoder.  Rows-only by design:
+    greedy merge learning + rank-ordered encoding is an iterative
+    algorithm with no SQL form — the incremental-vs-naive-recount,
+    segmentation-agreement, round-trip, and distributed-parity gates
+    live in tests/test_bpe.py."""
+    docs = _t(spark, sf_dir, "documents")
+    model = bpe.train_bpe(docs, n_merges=200, max_words=20000,
+                          min_frequency=2)
+    return bpe.bpe_token_counts(docs, model["merges"])
+
+
 def q_classifier_score(spark, sf_dir):
     """fastText-style linear quality classifier SCORING path
     (ops/classifier.classifier_scores) under deterministic md5
@@ -974,6 +990,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_mixture": q_domain_mixture,
     "dsir_importance": q_dsir_importance,
     "classifier_score": q_classifier_score,
+    "bpe_token_counts": q_bpe_token_counts,
     "ngram_repetition": q_ngram_repetition,
     "mm_frame_plan": q_mm_frame_plan,
     "mm_resize_plan": q_mm_resize_plan,
