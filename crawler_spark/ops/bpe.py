@@ -177,10 +177,13 @@ def bpe_encode(
 
     tok_re = re.compile(r"[a-z0-9]+")
 
+    # closure-level memo: serialized once per python worker, so it
+    # persists ACROSS Arrow batches (a per-batch dict would rebuild
+    # the word cache every ~10k rows)
+    memo: dict = {}
+
     @F.pandas_udf("array<string>")
     def enc(texts: pd.Series) -> pd.Series:
-        memo: dict = {}
-
         def one(t):
             if not isinstance(t, str) or not t:
                 return []
@@ -213,10 +216,10 @@ def bpe_token_counts(
 
     tok_re = re.compile(r"[a-z0-9]+")
 
+    memo: dict = {}
+
     @F.pandas_udf("long")
     def ntok(texts: pd.Series) -> pd.Series:
-        memo: dict = {}
-
         def one(t):
             if not isinstance(t, str) or not t:
                 return 0
