@@ -168,6 +168,10 @@ def main() -> None:
     pbench("p4_dsir", q_dsir)
     pbench("p5_ngram_repetition", lambda: contract.q_ngram_repetition(
         spark, sf_dir).count())
+    pbench("p6_classifier_score", lambda: contract.q_classifier_score(
+        spark, sf_dir).count())
+    pbench("p7_bpe_token_counts", lambda: contract.q_bpe_token_counts(
+        spark, sf_dir).count())
     extras["pipeline"] = pipeline
     out = {
         "metric": "headline suite wall time",
