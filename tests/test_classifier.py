@@ -138,6 +138,51 @@ def test_scores_cover_all_docs_and_featureless_get_bias(spark):
         classifier.train_quality_classifier(labeled, n_buckets=1)
 
 
+def test_scores_per_microbatch_match_batch(spark, tmp_path):
+    """Streaming form: scoring runs per admitted micro-batch via
+    foreachBatch (the per-doc margin agg never crosses batches, so
+    per-batch output equals one batch pass over the union) — the
+    composition the engine's per-epoch admission pipeline uses."""
+    rows = [(i, f"w{i % 5} common text token{i % 3}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "cls_docs")
+    # two files -> two micro-batches under maxFilesPerTrigger=1
+    docs.filter(F.col("doc_id") < 10).coalesce(1).write.parquet(src)
+    docs.filter(F.col("doc_id") >= 10).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    w = classifier.synthetic_weights_df(spark, 64).persist()
+    got = {}
+
+    def on_batch(bdf, _bid):
+        for r in classifier.classifier_scores(
+            bdf, w, bias=0.1, n_buckets=64
+        ).collect():
+            got[r.doc_id] = (r.logit, r.score)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ck_cls"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    want = {
+        r.doc_id: (r.logit, r.score)
+        for r in classifier.classifier_scores(
+            docs, w, bias=0.1, n_buckets=64
+        ).collect()
+    }
+    w.unpersist()
+    assert set(got) == set(want) == set(range(20))
+    for d in want:
+        assert abs(got[d][0] - want[d][0]) < 1e-12, d
+        assert abs(got[d][1] - want[d][1]) < 1e-12, d
+
+
 def test_scoring_plan_broadcasts_weights(spark):
     """The weight join is a broadcast hash join (the B-row side must
     never shuffle the corpus), and the plan contains no Window."""
