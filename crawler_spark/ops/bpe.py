@@ -82,7 +82,14 @@ def learn_merges(
     pair reaches `min_frequency`.  Incremental bookkeeping: a pair
     count table plus a pair -> affected-word index; a merge rewrites
     only the words containing its pair (subtract the word's old
-    pairs, rewrite, add the new ones)."""
+    pairs, rewrite, add the new ones).  Selection is a lazy-deletion
+    max-heap keyed (-count, pair) — entries are pushed on every count
+    increase and validated against the live table at pop, so picking
+    each round's pair is ~O(log |pairs|), not a full table scan
+    (at vocab-scale n_merges x |pairs| scans would dominate the whole
+    trainer)."""
+    import heapq
+
     words = [
         (tuple(w) + (EOW,), int(f)) for w, f in word_freqs if w
     ]
@@ -92,18 +99,22 @@ def learn_merges(
         for p in _pairs(syms):
             counts[p] += f
             where.setdefault(p, set()).add(wi)
+    heap = [(-c, p) for p, c in counts.items()]
+    heapq.heapify(heap)
     merges: list[tuple[str, str]] = []
-    while len(merges) < n_merges and counts:
-        (a, b), freq = min(
-            counts.items(), key=lambda kv: (-kv[1], kv[0])
-        )
-        if freq < min_frequency:
-            break
+    while len(merges) < n_merges and heap:
+        negc, (a, b) = heapq.heappop(heap)
+        if counts.get((a, b), 0) != -negc:
+            continue  # stale entry (count changed since push)
+        if -negc < min_frequency:
+            break  # heap max below threshold: nothing better exists
         merges.append((a, b))
+        touched: set = set()
         for wi in sorted(where.get((a, b), set())):
             syms, f = words[wi]
             for p in _pairs(syms):
                 counts[p] -= f
+                touched.add(p)
                 if counts[p] <= 0:
                     del counts[p]
                 s = where.get(p)
@@ -115,7 +126,16 @@ def learn_merges(
             words[wi] = (syms, f)
             for p in _pairs(syms):
                 counts[p] += f
+                touched.add(p)
                 where.setdefault(p, set()).add(wi)
+        # one push per touched pair's FINAL count: increases need a
+        # fresh entry, and decreases too — their old (higher) entries
+        # are now stale, and with no live entry a decreased pair could
+        # never be selected again even while it is the true max
+        for p in touched:
+            c = counts.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p))
     return merges
 
 
@@ -161,17 +181,23 @@ def encode_word(word: str, ranks: dict) -> tuple:
     return syms
 
 
+_MEMO_CAP = 1_000_000  # bound the per-worker word cache: web text's
+# distinct-word stream is unbounded (ids, base64 fragments all match
+# [a-z0-9]+), and a long-lived python worker must not grow without
+# limit.  First-come fill is the right policy — frequent words appear
+# early and dominate occurrences; words past the cap just re-encode.
+
+
 def bpe_encode(
     docs: DataFrame,
     merges: list[tuple[str, str]],
-    id_col: str = "doc_id",
     text_col: str = "text",
     tokens_col: str = "tokens",
 ) -> DataFrame:
-    """Docs + an array<string> column of BPE tokens (corpus-wide
-    [a-z0-9]+ pre-tokenization, per-word greedy encoding).  Arrow-
-    batched pandas UDF with a per-executor word memo; NULL/empty text
-    encodes to the empty array."""
+    """All input columns + an array<string> column of BPE tokens
+    (corpus-wide [a-z0-9]+ pre-tokenization, per-word greedy
+    encoding).  Arrow-batched pandas UDF with a capped per-worker
+    word memo; NULL/empty text encodes to the empty array."""
     ranks = {tuple(p): i for i, p in enumerate(merges)}
     import re
 
@@ -192,13 +218,14 @@ def bpe_encode(
                 got = memo.get(w)
                 if got is None:
                     got = list(encode_word(w, ranks))
-                    memo[w] = got
+                    if len(memo) < _MEMO_CAP:
+                        memo[w] = got
                 out.extend(got)
             return out
 
         return texts.map(one)
 
-    return docs.select(id_col, enc(F.col(text_col)).alias(tokens_col))
+    return docs.withColumn(tokens_col, enc(F.col(text_col)))
 
 
 def bpe_token_counts(
@@ -228,7 +255,8 @@ def bpe_token_counts(
                 got = memo.get(w)
                 if got is None:
                     got = len(encode_word(w, ranks))
-                    memo[w] = got
+                    if len(memo) < _MEMO_CAP:
+                        memo[w] = got
                 n += got
             return n
 

@@ -68,14 +68,18 @@ def doc_feature_vectors(
     toks = docs.select(
         F.col(id_col), _tokens_arr(F.col(text_col)).alias("_ts")
     )
-    feats = toks.select(
+    # project the feature array as an attribute so size+explode share
+    # ONE evaluation of the 2n-1 md5 hashes per doc (the tokenize-once
+    # contract — an inline expression would run under both the Project
+    # and the Generate; see ops/dsir.doc_bucket_counts)
+    fa = toks.select(
         F.col(id_col),
-        F.size(
-            _features_from_tokens(F.col("_ts"), n_buckets)
-        ).alias("_n"),
-        F.explode(
-            _features_from_tokens(F.col("_ts"), n_buckets)
-        ).alias("bucket"),
+        _features_from_tokens(F.col("_ts"), n_buckets).alias("_fa"),
+    )
+    feats = fa.select(
+        F.col(id_col),
+        F.size("_fa").alias("_n"),
+        F.explode("_fa").alias("bucket"),
     )
     agg = feats.groupBy(id_col, "bucket").agg(
         F.count("*").alias("_c"), F.min("_n").alias("_nd")
@@ -122,6 +126,29 @@ def synthetic_weights_df(spark, n_buckets: int, tag: str = "w") -> DataFrame:
     )
 
 
+def _margins(feats: DataFrame, wdf: DataFrame, id_col: str) -> DataFrame:
+    """(id_col, _s) — per-doc margin Σ_b x_b·w_b: broadcast B-row
+    weight join + one map-side-combined groupBy(doc).  The ONE margin
+    definition, shared by scoring and training so they cannot
+    diverge."""
+    return (
+        feats.join(F.broadcast(wdf), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("x") * F.col("w")).alias("_s"))
+    )
+
+
+def _as_weights_df(spark, weights, n_buckets: int) -> DataFrame:
+    if isinstance(weights, DataFrame):
+        return weights
+    if len(weights) != n_buckets:
+        raise ValueError(
+            f"weights length {len(weights)} != n_buckets {n_buckets} "
+            "(a mismatch would silently drop buckets in the join)"
+        )
+    return weights_df(spark, weights)
+
+
 def classifier_scores(
     docs: DataFrame,
     weights,
@@ -133,24 +160,17 @@ def classifier_scores(
 ) -> DataFrame:
     """(id_col, logit, score) for EVERY input doc: logit = bias +
     Σ_b x_b·w_b, score = σ(logit).  `weights` is a (bucket, w) frame
-    or a driver-side vector.  Featureless docs score at the bias.
-    The weight side broadcasts (B rows); the corpus pays one
-    (doc, bucket) agg + one groupBy(doc) — see module docstring."""
-    spark = docs.sparkSession
-    wdf = (
-        weights
-        if isinstance(weights, DataFrame)
-        else weights_df(spark, weights)
-    )
+    or a driver-side vector of length exactly n_buckets (checked —
+    a mismatched vector would silently drop buckets).  Featureless
+    docs score at the bias.  The weight side broadcasts (B rows);
+    the corpus pays one (doc, bucket) agg + one groupBy(doc) — see
+    module docstring."""
+    wdf = _as_weights_df(docs.sparkSession, weights, n_buckets)
     feats = doc_feature_vectors(
         docs, n_buckets, id_col=id_col, text_col=text_col,
         normalize=normalize,
     )
-    margins = (
-        feats.join(F.broadcast(wdf), "bucket")
-        .groupBy(id_col)
-        .agg(F.sum(F.col("x") * F.col("w")).alias("_s"))
-    )
+    margins = _margins(feats, wdf, id_col)
     logit = F.coalesce(F.col("_s"), F.lit(0.0)) + F.lit(float(bias))
     return (
         docs.select(id_col)
@@ -196,16 +216,11 @@ def _eval_factory(feats, labels, n_buckets, l2, n_docs, id_col):
     def fg(theta: np.ndarray):
         w, b = theta[:-1], float(theta[-1])
         wdf = weights_df(spark, w)
-        margins = (
-            feats.join(F.broadcast(wdf), "bucket")
-            .groupBy(id_col)
-            .agg(F.sum(F.col("x") * F.col("w")).alias("_s"))
-        )
-        md = labels.join(margins, id_col, "left").select(
+        md = labels.join(_margins(feats, wdf, id_col), id_col, "left").select(
             F.col(id_col),
             F.col("_y"),
             (F.coalesce(F.col("_s"), F.lit(0.0)) + F.lit(b)).alias("_m"),
-        )
+        ).persist()  # two actions below share the one margin aggregate
         z = (2.0 * F.col("_y") - 1.0) * F.col("_m")
         loss_i = F.greatest(F.lit(0.0), -z) + F.log1p(F.exp(-F.abs(z)))
         err = (
@@ -221,6 +236,7 @@ def _eval_factory(feats, labels, n_buckets, l2, n_docs, id_col):
             .agg(F.sum(F.col("_e") * F.col("x")).alias("g"))
             .collect()
         )
+        md.unpersist()
         g = np.zeros(n_buckets + 1)
         for r in grad_rows:
             g[int(r["bucket"])] = r["g"]
@@ -266,12 +282,18 @@ def _lbfgs(fg, x0: np.ndarray, max_iter: int, tol: float, m: int = 10):
             d, gd = -g, -float(g @ g)
         t = 1.0
         fn, gn, xn = f, g, x
-        while True:
+        accepted = False
+        while t >= 1e-12:
             xn = x + t * d
             fn, gn = fg(xn)
-            if fn <= f + 1e-4 * t * gd or t < 1e-12:
+            if fn <= f + 1e-4 * t * gd:
+                accepted = True
                 break
             t *= 0.5
+        if not accepted:
+            # no step along d satisfies Armijo: keep x (never move to
+            # a strictly worse iterate) and stop
+            break
         s_vec, y_vec = xn - x, gn - g
         if float(s_vec @ y_vec) > 1e-12:
             S.append(s_vec)

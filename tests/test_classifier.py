@@ -197,3 +197,14 @@ def test_scoring_plan_broadcasts_weights(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
+    # the feature array stays a projected attribute so size + explode
+    # share ONE evaluation of the per-doc md5 hashes (if the optimizer
+    # ever inlined it, the alias would vanish from the plan)
+    opt = (
+        classifier.doc_feature_vectors(docs, 64)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "_fa" in opt
+    # length/bucket mismatch must raise, not silently drop buckets
+    with pytest.raises(ValueError):
+        classifier.classifier_scores(docs, [0.0] * 32, 0.0, 64)
