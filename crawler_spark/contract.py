@@ -702,6 +702,26 @@ def q_ngram_repetition(spark, sf_dir):
     return textstats.ngram_repetition_stats(docs)
 
 
+def q_corpus_profile(spark, sf_dir):
+    """Per-language corpus distribution report
+    (ops/textstats.corpus_profile, exact=True for the oracle — the
+    default sketch form is the 100 TB path): doc counts, char
+    totals/means, and exact length/token-count quantiles whose
+    interpolation is quantile_cont-identical (verified bit-exact);
+    doubles at 4dp."""
+    docs = _t(spark, sf_dir, "documents")
+    prof = textstats.corpus_profile(docs, exact=True)
+    r4 = lambda c: F.transform(F.col(c), lambda x: F.round(x, 4))
+    return prof.select(
+        "lang",
+        "n_docs",
+        "total_chars",
+        F.round("mean_chars", 4).alias("mean_chars"),
+        r4("len_q").alias("len_q"),
+        r4("tok_q").alias("tok_q"),
+    )
+
+
 def q_bpe_token_counts(spark, sf_dir):
     """BPE tokenizer trained on the corpus (ops/bpe.train_bpe: one
     distributed word count capped by TakeOrdered, driver merge
@@ -990,6 +1010,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_mixture": q_domain_mixture,
     "dsir_importance": q_dsir_importance,
     "classifier_score": q_classifier_score,
+    "corpus_profile": q_corpus_profile,
     "bpe_token_counts": q_bpe_token_counts,
     "ngram_repetition": q_ngram_repetition,
     "mm_frame_plan": q_mm_frame_plan,
@@ -1729,6 +1750,29 @@ select doc_id, round(logw, 4) as logw, round(key, 4) as key
 from ds_key
 order by key desc, doc_id asc
 limit 100
+""",
+    # mirrors q_corpus_profile / textstats.corpus_profile (exact
+    # form): len over coalesce(text, ''), whitespace token count with
+    # the blank->0 convention, quantile_cont (interpolation-identical
+    # to Spark's exact percentile), sums cast out of HUGEINT
+    "corpus_profile": r"""
+with cp as (
+  select lang,
+         length(coalesce(text, '')) as len,
+         coalesce(case when len(trim(text)) = 0 then 0
+                       else len(regexp_split_to_array(trim(text), '\s+'))
+                  end, 0) as ntok
+  from documents
+)
+select lang,
+       count(*)::bigint as n_docs,
+       sum(len)::bigint as total_chars,
+       round(avg(len), 4) as mean_chars,
+       list_transform(quantile_cont(len, [0.5, 0.9, 0.99]),
+                      x -> round(x, 4)) as len_q,
+       list_transform(quantile_cont(ntok, [0.5, 0.9, 0.99]),
+                      x -> round(x, 4)) as tok_q
+from cp group by lang
 """,
     # mirrors q_classifier_score / ops/classifier exactly: [a-z0-9]+
     # tokens, unigram+bigram features WITH multiplicity, 32-bit md5

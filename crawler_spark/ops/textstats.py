@@ -574,3 +574,45 @@ def pii_scrub(
         F.regexp_count(t1, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
         F.regexp_count(t2, F.lit(PII_IPV4_RE)).cast("long").alias("n_ipv4"),
     )
+
+
+def corpus_profile(
+    docs: DataFrame,
+    probs: tuple = (0.5, 0.9, 0.99),
+    exact: bool = False,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-language corpus profile — (lang, n_docs, total_chars,
+    mean_chars, len_q, tok_q): doc counts, char totals/means, and
+    quantiles of doc length and whitespace token count at `probs`.
+    The distribution report a pipeline run emits before/after a
+    filtering stage (did the gate move the length mass the way the
+    thresholds intended?).
+
+    100 TB shape: ONE map-side-combined groupBy(lang) with a
+    dimension-sized result.  exact=False (default) profiles with
+    percentile_approx — Spark's mergeable bounded-memory quantile
+    sketch, the only sane form when one language holds 1e9+ docs;
+    exact=True switches to exact percentile (per-group value
+    collection — small-slice profiling and the DuckDB-parity oracle;
+    interpolation is quantile_cont-identical, verified bit-exact)."""
+    t = F.col(text_col)
+    length = F.length(F.coalesce(t, F.lit("")))
+    ntok = F.coalesce(token_count(t), F.lit(0))
+    parr = F.array(*[F.lit(float(p)) for p in probs])
+
+    def q(col):
+        return (
+            F.percentile(col, parr)
+            if exact
+            else F.percentile_approx(col, parr, F.lit(10000))
+        )
+
+    return docs.groupBy(lang_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(length).cast("long").alias("total_chars"),
+        F.avg(length).alias("mean_chars"),
+        q(length).alias("len_q"),
+        q(ntok).alias("tok_q"),
+    )

@@ -1624,3 +1624,46 @@ def test_decontam_two_stage_equals_exact(spark):
     for d, (_, contaminated) in exact.items():
         if contaminated:
             assert pre[d], f"bloom false negative on doc {d}"
+
+
+# ---------------- corpus profile ----------------
+
+
+def test_corpus_profile_hand_computed(spark):
+    """Exact per-lang profile against hand-worked values: counts,
+    char totals/means, quantile interpolation, the blank/NULL text
+    conventions (length 0, 0 tokens)."""
+    rows = [
+        (0, "en", "aaaa"),        # len 4, 1 tok
+        (1, "en", "bb bb"),       # len 5, 2 tok
+        (2, "en", "cccccc cc"),   # len 9, 2 tok
+        (3, "de", None),          # len 0, 0 tok
+        (4, "de", "x y z"),       # len 5, 3 tok
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    from crawler_spark.ops import textstats as ts
+
+    got = {
+        r.lang: r
+        for r in ts.corpus_profile(docs, probs=(0.5, 1.0), exact=True)
+        .collect()
+    }
+    en, de = got["en"], got["de"]
+    assert en.n_docs == 3 and en.total_chars == 18
+    assert abs(en.mean_chars - 6.0) < 1e-12
+    assert en.len_q == [5.0, 9.0]          # median of 4,5,9 / max
+    assert en.tok_q == [2.0, 2.0]
+    assert de.n_docs == 2 and de.total_chars == 5
+    assert de.len_q == [2.5, 5.0]          # interpolated median of 0,5
+    assert de.tok_q == [1.5, 3.0]
+    # the default sketch form lands within the value range and agrees
+    # on the non-quantile columns (it is the 100 TB path)
+    ap = {
+        r.lang: r
+        for r in ts.corpus_profile(docs, probs=(0.5, 1.0)).collect()
+    }
+    for lang in got:
+        assert ap[lang].n_docs == got[lang].n_docs
+        assert ap[lang].total_chars == got[lang].total_chars
+        for v in ap[lang].len_q:
+            assert 0 <= v <= 9
