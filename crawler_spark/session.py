@@ -112,3 +112,20 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def apply_session_defaults(builder):
+    """Semantic defaults for a SUBMIT-OWNED session (scripts run via
+    spark-submit --py-files): timezone, Arrow, the AQE family, and
+    the checkpoint GC bound — everything get_spark sets EXCEPT
+    cluster topology (master, memory, shuffle width), which on a real
+    cluster belongs to the spark-submit command line and must not be
+    overridden here."""
+    return (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.cleaner.periodicGC.interval", "5min")
+    )
