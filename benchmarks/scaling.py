@@ -207,26 +207,58 @@ def prep() -> None:
     print(f"wrote {N_PAGES} pages to {CORPUS}", file=sys.stderr)
 
 
+def _submit_cmd(n: int) -> list[str]:
+    """Launch one level as a real `spark-submit --py-files` driver —
+    the north rule's run mode.  The script copy lives in /tmp so its
+    sys.path insertion points at /, making the --py-files zip the
+    ONLY source of crawler_spark; --driver-memory must ride the
+    submit line (under spark-submit the JVM is already up before the
+    builder could set it)."""
+    import shutil
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = shutil.make_archive(
+        "/tmp/crawler_spark_submit", "zip", root_dir=repo,
+        base_dir="crawler_spark",
+    )
+    script = "/tmp/scaling_submit_copy.py"
+    shutil.copyfile(os.path.abspath(__file__), script)
+    return [
+        "spark-submit", "--master", f"local[{n}]",
+        "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+        "--py-files", zip_path, script, "--one", str(n),
+    ]
+
+
 def main() -> None:
-    if len(sys.argv) >= 2 and sys.argv[1] == "--prep":
+    argv = [a for a in sys.argv[1:]]
+    submit = "--submit" in argv
+    if submit:
+        argv.remove("--submit")
+    if argv and argv[0] == "--prep":
         prep()
         return
-    if len(sys.argv) >= 3 and sys.argv[1] == "--one":
-        run_one(int(sys.argv[2]))
+    if len(argv) >= 2 and argv[0] == "--one":
+        run_one(int(argv[1]))
         return
     if not os.path.exists(CORPUS):
         prep()
-    levels = [int(x) for x in (sys.argv[1].split(",") if len(sys.argv) > 1 else ("2", "8", "32"))]
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    levels = [int(x) for x in (argv[0].split(",") if argv else ("2", "8", "32"))]
+    reps = int(argv[1]) if len(argv) > 1 else 3
     # interleave levels across repetitions so shared-host noise hits
     # every level equally; keep the best rep per level (the run least
     # perturbed by the hypervisor neighborhood)
     samples: dict[int, list[dict]] = {n: [] for n in levels}
     for r in range(reps):
         for n in levels:
+            cmd = (
+                _submit_cmd(n)
+                if submit
+                else [sys.executable, __file__, "--one", str(n)]
+            )
             out = subprocess.run(
-                [sys.executable, __file__, "--one", str(n)],
-                capture_output=True, text=True, check=True,
+                cmd, capture_output=True, text=True, check=True,
+                cwd="/tmp" if submit else None,
             )
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
             samples[n].append(json.loads(line))
