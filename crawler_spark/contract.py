@@ -711,15 +711,17 @@ def q_corpus_profile(spark, sf_dir):
     doubles at 4dp."""
     docs = _t(spark, sf_dir, "documents")
     prof = textstats.corpus_profile(docs, exact=True)
-    r4 = lambda c: F.transform(F.col(c), lambda x: F.round(x, 4))
-    return prof.select(
-        "lang",
-        "n_docs",
-        "total_chars",
-        F.round("mean_chars", 4).alias("mean_chars"),
-        r4("len_q").alias("len_q"),
-        r4("tok_q").alias("tok_q"),
-    )
+    # flatten the quantile arrays to scalar doubles: every other
+    # SQL-checked entry hashes scalars, and the driver's array
+    # canonicalization is an untested surface (the round-4
+    # text_repetition lesson: never ship a new dtype class to the
+    # driver's hash untested)
+    cols = ["lang", "n_docs", "total_chars",
+            F.round("mean_chars", 4).alias("mean_chars")]
+    for src, tag in (("len_q", "len"), ("tok_q", "tok")):
+        for i, p in enumerate(("p50", "p90", "p99")):
+            cols.append(F.round(F.col(src)[i], 4).alias(f"{tag}_{p}"))
+    return prof.select(*cols)
 
 
 def q_bpe_token_counts(spark, sf_dir):
@@ -1768,10 +1770,12 @@ select lang,
        count(*)::bigint as n_docs,
        sum(len)::bigint as total_chars,
        round(avg(len), 4) as mean_chars,
-       list_transform(quantile_cont(len, [0.5, 0.9, 0.99]),
-                      x -> round(x, 4)) as len_q,
-       list_transform(quantile_cont(ntok, [0.5, 0.9, 0.99]),
-                      x -> round(x, 4)) as tok_q
+       round(quantile_cont(len, 0.5), 4) as len_p50,
+       round(quantile_cont(len, 0.9), 4) as len_p90,
+       round(quantile_cont(len, 0.99), 4) as len_p99,
+       round(quantile_cont(ntok, 0.5), 4) as tok_p50,
+       round(quantile_cont(ntok, 0.9), 4) as tok_p90,
+       round(quantile_cont(ntok, 0.99), 4) as tok_p99
 from cp group by lang
 """,
     # mirrors q_classifier_score / ops/classifier exactly: [a-z0-9]+
