@@ -30,6 +30,7 @@ from . import frontier as frontier_mod
 from .functions import extract as extract_mod
 from .functions.extract import is_valid_url, url_host
 from .ops import (
+    anchors,
     bpe,
     classifier,
     decontam,
@@ -970,6 +971,43 @@ def q_ppr_many_sources(spark, sf_dir):
     )
 
 
+def q_anchor_text_topk(spark, sf_dir):
+    """Inlink anchor-text rollup: deterministic html pages built from
+    event user ids (three labelled anchors per page at (uid%40)-keyed
+    targets, plus a self anchor and an empty href that the REAL
+    extraction UDF must drop), run through extract_anchors ->
+    anchor_pairs -> per-target top-2 by page count. The oracle
+    regenerates the surviving (dst, anchor) rows from the same
+    arithmetic and mirrors the rollup; the parser's messy-HTML
+    behavior is gated by tests/test_anchors.py fixtures."""
+    u = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid")
+    ).distinct()
+    m = F.col("uid") % 40
+    parts = []
+    for j in range(3):
+        parts += [
+            F.lit('<a href="https://node'),
+            ((m * 3 + j) % 10).cast("string"),
+            F.lit('.test/">label '),
+            ((m + j) % 4).cast("string"),
+            F.lit("</a>"),
+        ]
+    html = F.concat(
+        *parts,
+        F.lit('<a href="https://src'),
+        F.col("uid").cast("string"),
+        F.lit('.test/">self</a><a href="">x</a>'),
+    ).cast("binary")
+    pages = u.select(
+        F.concat(
+            F.lit("https://src"), F.col("uid").cast("string"), F.lit(".test/")
+        ).alias("url"),
+        html.alias("html"),
+    )
+    return anchors.anchor_text_topk(anchors.anchor_pairs(pages), k=2)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s4_latest_event_dedup": q_s4_latest_event_dedup,
     "s2_admission_seen_filter": q_s2_admission_seen_filter,
@@ -1022,6 +1060,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "semantic_dedup": q_semantic_dedup,
+    "anchor_text_topk": q_anchor_text_topk,
     "mc_pagerank": q_mc_pagerank,
     "ppr_source0": q_ppr_source0,
     "ppr_many_sources": q_ppr_many_sources,
@@ -2129,5 +2168,22 @@ select a.vec_id as id_a, b.vec_id as id_b,
 from e a cross join e b
 where a.vec_id < b.vec_id
   and round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+""",
+    # regenerates the surviving (dst, anchor) rows of
+    # q_anchor_text_topk's deterministic pages (self anchor and empty
+    # href never survive the extraction UDF) and mirrors the rollup
+    "anchor_text_topk": """
+with u as (select distinct user_id as uid from events),
+ j as (select * from (values (0), (1), (2)) as t(j)),
+ pairs as (
+  select 'https://node' || (((uid % 40) * 3 + j) % 10) || '.test/' as dst_url,
+         'label ' || (((uid % 40) + j) % 4) as anchor
+  from u cross join j),
+ c as (select dst_url, anchor, count(*) as n_pages
+       from pairs group by dst_url, anchor),
+ r as (select *, row_number() over (
+         partition by dst_url order by n_pages desc, anchor asc) as rn
+       from c)
+select dst_url, anchor, n_pages, rn from r where rn <= 2
 """,
 }

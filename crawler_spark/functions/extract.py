@@ -21,7 +21,7 @@ import re
 
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 from ..schemas import MAX_OUTLINKS_TAGS
 
@@ -71,6 +71,75 @@ def extract_links(html: pd.Series, url: pd.Series) -> pd.Series:
 @F.pandas_udf(StringType())
 def extract_text(html: pd.Series) -> pd.Series:
     return pd.Series([_text_one(h) for h in html], index=html.index, dtype=object)
+
+
+_ANCHOR_RE = re.compile(
+    rb'<a\s[^>]*?href="([^"]*)"[^>]*>(.*?)</a>', re.IGNORECASE | re.DOTALL
+)
+_TAG_RE = re.compile(rb"<[^>]+>")
+# &amp; decoded LAST so '&amp;lt;' yields '&lt;' (one decode pass,
+# not recursive) — the standard single-pass entity rule.
+_ENTITIES = [
+    (b"&lt;", b"<"),
+    (b"&gt;", b">"),
+    (b"&quot;", b'"'),
+    (b"&#39;", b"'"),
+    (b"&amp;", b"&"),
+]
+
+
+def _anchors_one(
+    html: bytes | None, url: str | None
+) -> list[dict[str, str]]:
+    """(href, anchor-text) pairs of a page. Same conventions as
+    _links_one: no/self hrefs dropped, >MAX_OUTLINKS_TAGS skips the
+    page, undecodable bytes skip the anchor, result unique + sorted.
+    Anchor text is the tag body with nested markup stripped, entities
+    decoded (one pass), and whitespace collapsed — an empty body is
+    kept as '' (bare image links still carry the target)."""
+    if html is None:
+        return []
+    ms = _ANCHOR_RE.findall(html)
+    if len(ms) == 0 or len(ms) > MAX_OUTLINKS_TAGS:
+        return []
+    out = set()
+    for href_b, body in ms:
+        try:
+            href = href_b.decode("utf-8")
+        except UnicodeDecodeError:
+            continue
+        if not href or href == url:
+            continue
+        body = _TAG_RE.sub(b"", body)
+        for ent, ch in _ENTITIES:
+            body = body.replace(ent, ch)
+        try:
+            text = body.decode("utf-8")
+        except UnicodeDecodeError:
+            continue
+        out.add((href, " ".join(text.split())))
+    return [{"href": h, "anchor": a} for h, a in sorted(out)]
+
+
+# type objects, not a DDL string — DDL parsing at decoration time
+# needs an active session, which doesn't exist at import
+_ANCHOR_T = ArrayType(
+    StructType(
+        [
+            StructField("href", StringType()),
+            StructField("anchor", StringType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(_ANCHOR_T)
+def extract_anchors(html: pd.Series, url: pd.Series) -> pd.Series:
+    return pd.Series(
+        [_anchors_one(h, u) for h, u in zip(html, url)],
+        index=html.index,
+        dtype=object,
+    )
 
 
 _SCHEMES = ("https://", "http://")

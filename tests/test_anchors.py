@@ -1,0 +1,132 @@
+"""Anchor-text extraction + per-target rollup (ops/anchors).
+
+The extraction fixtures gate the parser conventions (nested markup
+stripped, entities one-pass decoded, whitespace collapsed, self/empty
+hrefs dropped, per-page dedup, undecodable bytes skipped); the rollup
+is checked against an independent pandas recomputation; the plan gate
+lives in tests/test_plans.py.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.extract import _anchors_one
+from crawler_spark.ops import anchors
+
+
+def _pairs(html: bytes, url: str = "https://self.test/"):
+    return [(d["href"], d["anchor"]) for d in _anchors_one(html, url)]
+
+
+def test_anchor_basic_and_sorted():
+    html = (
+        b'<a href="https://b.test/">beta</a>'
+        b'<a href="https://a.test/">alpha</a>'
+    )
+    assert _pairs(html) == [
+        ("https://a.test/", "alpha"),
+        ("https://b.test/", "beta"),
+    ]
+
+
+def test_anchor_nested_markup_stripped_and_ws_collapsed():
+    html = (
+        b'<a href="https://x.test/" class="nav">\n  click <b>here</b>\n'
+        b"   now </a>"
+    )
+    assert _pairs(html) == [("https://x.test/", "click here now")]
+
+
+def test_anchor_entities_single_pass():
+    # &amp;lt; must decode to '&lt;' (one pass), not '<'
+    html = (
+        b'<a href="https://x.test/">a &amp; b &lt;c&gt; &quot;d&quot; '
+        b"&#39;e&#39; &amp;lt;</a>"
+    )
+    assert _pairs(html) == [
+        ("https://x.test/", "a & b <c> \"d\" 'e' &lt;")
+    ]
+
+
+def test_anchor_self_empty_and_undecodable_dropped():
+    html = (
+        b'<a href="https://self.test/">me</a>'
+        b'<a href="">blank</a>'
+        b'<a href="https://ok.test/">ok</a>'
+        b'<a href="https://l1.test/\xff">bad href</a>'
+        b'<a href="https://l2.test/">caf\xe9</a>'
+    )
+    assert _pairs(html) == [("https://ok.test/", "ok")]
+
+
+def test_anchor_empty_body_kept_and_page_dedup():
+    html = (
+        b'<a href="https://img.test/"><img src="x.png"></a>'
+        b'<a href="https://rep.test/">same</a>'
+        b'<a href="https://rep.test/">same</a>'
+    )
+    assert _pairs(html) == [
+        ("https://img.test/", ""),
+        ("https://rep.test/", "same"),
+    ]
+
+
+def test_anchor_multiline_body_and_cap():
+    html = b'<a href="https://m.test/">line\none</a>'
+    assert _pairs(html) == [("https://m.test/", "line one")]
+    from crawler_spark.schemas import MAX_OUTLINKS_TAGS
+
+    big = b"".join(
+        b'<a href="https://h%d.test/">t</a>' % i
+        for i in range(MAX_OUTLINKS_TAGS + 1)
+    )
+    assert _anchors_one(big, None) == []
+    assert _anchors_one(None, None) == []
+
+
+@pytest.fixture(scope="module")
+def page_df(spark):
+    rows = []
+    for i in range(40):
+        body = b"".join(
+            b'<a href="https://node%d.test/">label %d</a>'
+            % ((i * 3 + j) % 10, (i + j) % 4)
+            for j in range(3)
+        )
+        # one self link per page: must not appear in the pairs
+        body += b'<a href="https://src%d.test/">self</a>' % i
+        rows.append((f"https://src{i}.test/", body))
+    return spark.createDataFrame(rows, "url string, html binary")
+
+
+def test_anchor_pairs_and_topk_match_pandas(spark, page_df):
+    got = anchors.anchor_pairs(page_df).toPandas()
+    exp = []
+    for r in page_df.select("url", "html").collect():
+        for d in _anchors_one(bytes(r["html"]), r["url"]):
+            exp.append((r["url"], d["href"], d["anchor"]))
+    assert sorted(map(tuple, got.itertuples(index=False))) == sorted(exp)
+    assert not any(a == "self" for _, _, a in exp)
+
+    k = 2
+    topk = anchors.anchor_text_topk(
+        anchors.anchor_pairs(page_df), k=k
+    ).toPandas()
+    cnt = (
+        pd.DataFrame(exp, columns=["s", "dst_url", "anchor"])
+        .groupby(["dst_url", "anchor"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_pages"})
+        .sort_values(
+            ["dst_url", "n_pages", "anchor"],
+            ascending=[True, False, True],
+        )
+    )
+    cnt["rn"] = cnt.groupby("dst_url").cumcount() + 1
+    exp_top = cnt[cnt["rn"] <= k]
+    assert sorted(
+        map(tuple, topk[["dst_url", "anchor", "n_pages", "rn"]].itertuples(index=False))
+    ) == sorted(map(tuple, exp_top.itertuples(index=False)))
+    # every dst keeps at most k rows and ranks are 1..k
+    assert topk.groupby("dst_url")["rn"].max().le(k).all()

@@ -221,3 +221,25 @@ def test_schedule_window_is_group_limited_pre_shuffle(spark):
     p = _plan(batch)
     assert "WindowGroupLimit" in p and "Partial" in p
     assert batch.count() == 50
+
+
+def test_anchor_topk_is_group_limited_pre_shuffle(spark):
+    """Plan gate for the anchor rollup's skew claim: the rn<=k filter
+    over the per-dst row_number plans as WindowGroupLimit with a
+    PARTIAL pass below the dst_url exchange — a hub target's anchor
+    set forwards at most k rows per map task instead of funnelling
+    whole into one task's window sort (the skew a web graph's inlink
+    distribution guarantees)."""
+    from crawler_spark.ops import anchors
+
+    pairs = spark.createDataFrame(
+        [
+            (f"https://s{i}.test/", f"https://d{i % 4}.test/", f"t{i % 6}")
+            for i in range(120)
+        ],
+        "src_url string, dst_url string, anchor string",
+    )
+    out = anchors.anchor_text_topk(pairs, k=3)
+    p = _plan(out)
+    assert "WindowGroupLimit" in p and "Partial" in p
+    assert out.groupBy("dst_url").count().agg({"count": "max"}).first()[0] <= 3
