@@ -971,6 +971,18 @@ def q_ppr_many_sources(spark, sf_dir):
     )
 
 
+def q_shard_assign(spark, sf_dir):
+    """Deterministic training-shard assignment over documents: split
+    (10% val), shard (of 8), and the 60-bit global-shuffle order key
+    — every column a pure md5 function of doc_id, mirrored verbatim
+    in the oracle (the resume/re-run byte-stability argument IS this
+    mirrorability)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return sampling.shard_assign(
+        docs, n_shards=8, seed=7, val_frac=0.1
+    ).select("doc_id", "split", "shard", "pos")
+
+
 def q_anchor_text_topk(spark, sf_dir):
     """Inlink anchor-text rollup: deterministic html pages built from
     event user ids (three labelled anchors per page at (uid%40)-keyed
@@ -1061,6 +1073,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "semantic_dedup": q_semantic_dedup,
     "anchor_text_topk": q_anchor_text_topk,
+    "shard_assign": q_shard_assign,
     "mc_pagerank": q_mc_pagerank,
     "ppr_source0": q_ppr_source0,
     "ppr_many_sources": q_ppr_many_sources,
@@ -2185,5 +2198,19 @@ with u as (select distinct user_id as uid from events),
          partition by dst_url order by n_pages desc, anchor asc) as rn
        from c)
 select dst_url, anchor, n_pages, rn from r where rn <= 2
+""",
+    # mirrors q_shard_assign / ops/sampling.shard_assign exactly:
+    # independent md5 streams over (id ':seed:' role), 8-hex string
+    # compare for the split, 32-bit hash mod shards, 60-bit order key
+    "shard_assign": """
+select doc_id,
+  case when substring(md5(doc_id::varchar || ':7:split'), 1, 8)
+            >= lpad(lower(hex(floor(0.1 * 4294967296.0)::bigint)), 8, '0')
+       then 'train' else 'val' end as split,
+  ('0x' || substring(md5(doc_id::varchar || ':7:shard'), 1, 8))::bigint % 8
+    as shard,
+  ('0x' || substring(md5(doc_id::varchar || ':7:pos'), 1, 15))::bigint
+    as pos
+from documents
 """,
 }

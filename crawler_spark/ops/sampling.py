@@ -97,6 +97,100 @@ def keep_expr(id_col: Column, rate: Column, seed: int = 0) -> Column:
     return (rate >= 1.0) | (draw < thr)
 
 
+def _md5_long(s: Column, n_hex: int = 8) -> Column:
+    """First n_hex hex chars of md5(s) as a non-negative long — the
+    repo's standard DuckDB-mirrorable hash primitive (oracle form:
+    ('0x' || substring(md5(s), 1, n))::bigint)."""
+    return F.conv(F.substring(F.md5(s), 1, n_hex), 16, 10).cast("long")
+
+
+def shard_assign(
+    docs: DataFrame,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    val_frac: float = 0.0,
+) -> DataFrame:
+    """Deterministic training-shard assignment — the writer step that
+    turns a filtered corpus into a fixed number of globally-shuffled
+    shards plus a stable held-out split (the T5/Dolma shard-writing
+    discipline: shard membership and within-shard order must be pure
+    functions of the document id, so a resumed or re-run pipeline
+    writes byte-identical shards and the eval split never leaks into
+    training across re-runs).
+
+    Adds three columns, each an independent md5 stream over
+    (id ':' seed ':' role):
+      - split: 'val' with probability val_frac (the same 8-hex-char
+        string compare as keep_expr — exactly mirrorable in DuckDB),
+        else 'train'; val docs still get shard/pos so the eval set
+        can be sharded too.
+      - shard: md5_32 % n_shards.
+      - pos: 60-bit md5 order key — sorting a shard by (pos, id) IS
+        the global shuffle (hash order is independent of crawl/source
+        order, so each shard is an unbiased interleave of the corpus;
+        id breaks the ~2^-60-rate pos ties deterministically).
+
+    100 TB shape: three codegen'd expressions per row, zero shuffles
+    here; the one unavoidable full shuffle is the write itself
+    (write_shards repartitions on the shard column — that shuffle IS
+    the product). Skew-free by construction: md5 spreads ids uniformly
+    regardless of how hot any host/domain is."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    sid = F.col(id_col).cast("string")
+    draw = F.substring(
+        F.md5(F.concat_ws(":", sid, F.lit(str(seed)), F.lit("split"))), 1, 8
+    )
+    thr = F.lpad(
+        F.lower(
+            F.hex(F.floor(F.lit(float(val_frac)) * F.lit(_HEX_SPAN)).cast("long"))
+        ),
+        8,
+        "0",
+    )
+    split = F.when(
+        (F.lit(float(val_frac)) < 1.0) & (draw >= thr), F.lit("train")
+    ).otherwise(F.lit("val"))
+    shard = (
+        _md5_long(F.concat_ws(":", sid, F.lit(str(seed)), F.lit("shard")))
+        % n_shards
+    )
+    pos = _md5_long(
+        F.concat_ws(":", sid, F.lit(str(seed)), F.lit("pos")), n_hex=15
+    )
+    return docs.select(
+        "*",
+        split.alias("split"),
+        shard.cast("int").alias("shard"),
+        pos.alias("pos"),
+    )
+
+
+def write_shards(
+    docs: DataFrame,
+    path: str,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    val_frac: float = 0.0,
+) -> None:
+    """Materialize the shard layout: one directory per (split, shard),
+    rows within each shard's files in (pos, id) order — a training
+    loader streams shard directories sequentially and gets the global
+    shuffle for free. The repartition on the shard columns is the one
+    full shuffle (it IS the product); the within-partition sort spills
+    if a shard exceeds memory, it never funnels shards into one task."""
+    out = shard_assign(docs, n_shards, seed, id_col, val_frac)
+    (
+        out.repartition(n_shards, F.col("split"), F.col("shard"))
+        .sortWithinPartitions("split", "shard", "pos", id_col)
+        .write.mode("overwrite")
+        .partitionBy("split", "shard")
+        .parquet(path)
+    )
+
+
 def sample_mixture(
     docs: DataFrame,
     rates: DataFrame,
