@@ -971,6 +971,16 @@ def q_ppr_many_sources(spark, sf_dir):
     )
 
 
+def q_span_dedup(spark, sf_dir):
+    """Duplicated-span removal (Lee et al. exact-substring family) at
+    n=8 over documents: tokens inside any 8-token window whose exact
+    content occurs >= 2 times corpus-wide are cut, survivors rejoin
+    with single spaces. The oracle mirrors the whole pass — same
+    whitespace tokens, same md5 gram keys, same coverage union."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.span_dedup(docs, n=8, min_count=2)
+
+
 def q_shard_assign(spark, sf_dir):
     """Deterministic training-shard assignment over documents: split
     (10% val), shard (of 8), and the 60-bit global-shuffle order key
@@ -1074,6 +1084,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "anchor_text_topk": q_anchor_text_topk,
     "shard_assign": q_shard_assign,
+    "span_dedup": q_span_dedup,
     "mc_pagerank": q_mc_pagerank,
     "ppr_source0": q_ppr_source0,
     "ppr_many_sources": q_ppr_many_sources,
@@ -2212,5 +2223,40 @@ select doc_id,
   ('0x' || substring(md5(doc_id::varchar || ':7:pos'), 1, 15))::bigint
     as pos
 from documents
+""",
+    # mirrors q_span_dedup / ops/dedup.span_dedup exactly: whitespace
+    # tokens, md5 of space-joined 8-token windows, >=2 total
+    # occurrences, coverage union, space-rejoined survivors
+    "span_dedup": r"""
+with sd_toks as (
+  select doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> len(x) > 0) as ts
+  from documents where text is not null
+), sd_grams as (
+  select doc_id, i - 1 as pos,
+         md5(array_to_string(list_slice(ts, i, i + 7), ' ')) as g
+  from sd_toks, unnest(generate_series(1, len(ts) - 7)) s(i)
+  where len(ts) >= 8
+), sd_dup as (select g from sd_grams group by g having count(*) >= 2),
+sd_cov as (
+  select distinct g.doc_id, g.pos + j as t
+  from sd_grams g join sd_dup using (g),
+       unnest(generate_series(0, 7)) sj(j)
+), sd_tok as (
+  select doc_id, i - 1 as t, ts[i] as tok
+  from sd_toks, unnest(generate_series(1, len(ts))) si(i)
+), sd_kept as (
+  select tk.doc_id,
+         string_agg(tk.tok, ' ' order by tk.t) as clean_text,
+         count(*) as nk
+  from sd_tok tk
+  left join sd_cov c on c.doc_id = tk.doc_id and c.t = tk.t
+  where c.t is null
+  group by tk.doc_id
+)
+select b.doc_id, coalesce(k.clean_text, '') as clean_text,
+       (len(b.ts) - coalesce(k.nk, 0))::bigint as n_tokens_removed
+from sd_toks b left join sd_kept k using (doc_id)
 """,
 }

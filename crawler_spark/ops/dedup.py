@@ -1149,3 +1149,125 @@ def incremental_line_dedup(
         .select("_fp", F.lit(True).alias("_boiler"))
     )
     return _reassemble_lines(lines, boiler, id_col)
+
+
+def _ws_tokens(text: Column) -> Column:
+    """Whitespace tokens of the trimmed text, ORIGINAL content kept
+    (the span family edits text, so tokens must reconstruct it —
+    unlike textstats._tokens_arr's lowercase/alnum normalization)."""
+    return F.filter(
+        F.split(F.trim(text), r"\s+"), lambda x: F.length(x) > 0
+    )
+
+
+def _span_gram_rows(
+    docs: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, pos, g): md5 of each space-joined n-token window at
+    0-based token position pos — the shared explode pass of the span
+    family. Docs with fewer than n tokens contribute no rows."""
+    toks = docs.select(F.col(id_col), _ws_tokens(F.col(text_col)).alias("_ts"))
+    return toks.select(
+        F.col(id_col),
+        F.posexplode(
+            # explicit empty branch: sequence(1, 0) DESCENDS in Spark,
+            # so the short-doc case can't ride a greatest() clamp
+            F.expr(
+                f"case when size(_ts) < {n} then array() "
+                f"else transform(sequence(1, size(_ts) - {n} + 1), "
+                f"i -> md5(array_join(slice(_ts, i, {n}), ' '))) end"
+            )
+        ).alias("pos", "g"),
+    )
+
+
+def span_dedup(
+    docs: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    release: list | None = None,
+) -> DataFrame:
+    """(id, clean_text, n_tokens_removed): duplicated-SPAN removal —
+    the exact-substring dedup family (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", who cut substrings
+    of >= 50 tokens occurring more than once). A token is covered
+    when it lies inside any n-token window whose exact space-joined
+    content occurs >= min_count times corpus-wide (ALL occurrences
+    counted, within-doc repeats included — Lee et al.'s convention);
+    covered tokens are removed everywhere and survivors rejoin with
+    single spaces in original order.
+
+    Exactness bound: every duplicated substring of >= n tokens
+    contains a duplicated n-gram, so all such substrings are fully
+    removed. The over-approximation relative to a suffix array is a
+    run of grams each duplicated SOMEWHERE without one partner
+    sharing the whole run — at n ~ 50 that coincidence is what the
+    published n-gram variants of this pass accept.
+
+    100 TB shape (no suffix array — that is a single-machine
+    structure): one gram explode feeds a map-side-combined
+    groupBy(gram-hash) whose >= min_count survivors are the verdict
+    table (delta-sized for a mostly-unique web corpus — AQE
+    broadcasts it when small); covered token indices come from
+    exploding each duplicated gram into its n positions (bounded by
+    n x dup-gram rows); reassembly is one groupBy(doc) whose state
+    is bounded by the doc's own token count, exactly like
+    line_dedup's. No window, no per-row Python, no driver state.
+
+    Materialization contract (persist-and-release): the gram rows
+    feed the count agg AND the coverage join, so `release=<list>`
+    persists them — ONE tokenize+md5 pass — for the caller to
+    unpersist after its downstream action; `release=None` stays lazy
+    (driver-owned contract queries). NULL text: as in exact_dedup,
+    NULL-text rows get no output row — filter upstream."""
+    grams = _span_gram_rows(docs, n, id_col, text_col)
+    if release is not None:
+        grams = grams.persist()
+        release.append(grams)
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("g")
+    )
+    covered = (
+        grams.join(dup, "g", "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias(
+                "_t"
+            ),
+        )
+        .distinct()
+    )
+    toks = docs.select(
+        F.col(id_col), F.posexplode(_ws_tokens(F.col(text_col))).alias("_t", "_tok")
+    )
+    flagged = toks.join(covered, [id_col, "_t"], "left_anti")
+    kept = flagged.groupBy(F.col(id_col)).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_t"), F.col("_tok")))
+                ),
+                lambda s: s["_tok"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("_nk"),
+    )
+    base = docs.select(
+        F.col(id_col), F.size(_ws_tokens(F.col(text_col))).alias("_n")
+    ).filter(F.col(text_col).isNotNull())
+    return (
+        base.join(kept, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("_n") - F.coalesce("_nk", F.lit(0).cast("long")))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
+    )
