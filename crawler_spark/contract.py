@@ -981,6 +981,19 @@ def q_span_dedup(spark, sf_dir):
     return dedup.span_dedup(docs, n=8, min_count=2)
 
 
+def q_dedup_incremental_spans(spark, sf_dir):
+    """Batch-vs-corpus span dedup: the corpus participates only
+    through its stored (g, n_occurrences) gram-count table
+    (ops/dedup.incremental_span_dedup); exactness oracle = the
+    batch-id slice of a full span run over corpus ∪ batch, which the
+    SQL re-derives from first principles."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = dedup.span_gram_counts(docs.filter(F.col("doc_id") % 3 != 0), n=8)
+    return dedup.incremental_span_dedup(
+        docs.filter(F.col("doc_id") % 3 == 0), corpus, n=8, min_count=2
+    )
+
+
 def q_shard_assign(spark, sf_dir):
     """Deterministic training-shard assignment over documents: split
     (10% val), shard (of 8), and the 60-bit global-shuffle order key
@@ -1085,6 +1098,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anchor_text_topk": q_anchor_text_topk,
     "shard_assign": q_shard_assign,
     "span_dedup": q_span_dedup,
+    "dedup_incremental_spans": q_dedup_incremental_spans,
     "mc_pagerank": q_mc_pagerank,
     "ppr_source0": q_ppr_source0,
     "ppr_many_sources": q_ppr_many_sources,
@@ -2227,7 +2241,7 @@ from documents
     # mirrors q_span_dedup / ops/dedup.span_dedup exactly: whitespace
     # tokens, md5 of space-joined 8-token windows, >=2 total
     # occurrences, coverage union, space-rejoined survivors
-    "span_dedup": r"""
+    "span_dedup": (_SPAN_SQL := r"""
 with sd_toks as (
   select doc_id,
          list_filter(regexp_split_to_array(trim(text), '\s+'),
@@ -2258,5 +2272,9 @@ sd_cov as (
 select b.doc_id, coalesce(k.clean_text, '') as clean_text,
        (len(b.ts) - coalesce(k.nk, 0))::bigint as n_tokens_removed
 from sd_toks b left join sd_kept k using (doc_id)
-""",
+"""),
+    # the incremental exactness lemma AS the oracle: batch-vs-stored-
+    # corpus-counts must equal the batch-id slice of a full span run
+    # over corpus ∪ batch (= all documents), re-derived from scratch
+    "dedup_incremental_spans": _SPAN_SQL + " where b.doc_id % 3 = 0",
 }

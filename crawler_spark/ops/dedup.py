@@ -1232,6 +1232,19 @@ def span_dedup(
         .filter(F.col("_c") >= min_count)
         .select("g")
     )
+    return _span_apply(docs, grams, dup, n, id_col, text_col)
+
+
+def _span_apply(
+    docs: DataFrame,
+    grams: DataFrame,
+    dup: DataFrame,
+    n: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Cut every token covered by a gram in the `dup` verdict table
+    and reassemble — the shared back half of the span family."""
     covered = (
         grams.join(dup, "g", "left_semi")
         .select(
@@ -1271,3 +1284,66 @@ def span_dedup(
             .alias("n_tokens_removed"),
         )
     )
+
+
+def span_gram_counts(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(g, n_occurrences): the stored span-gram state of a corpus —
+    total occurrence counts per n-token window hash, the side
+    incremental_span_dedup consults (build once at admission, then
+    maintain by SUMMING each admitted batch's counts in: occurrence
+    totals add across any partition of the corpus into batches)."""
+    return (
+        _span_gram_rows(docs, n, id_col, text_col)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+
+
+def incremental_span_dedup(
+    new_docs: DataFrame,
+    corpus_counts: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    release: list | None = None,
+) -> DataFrame:
+    """span_dedup of an INCOMING batch against an accumulated corpus
+    — the per-crawl-batch pipeline shape (consult-and-update, like
+    incremental_exact_dedup / incremental_line_dedup): the corpus is
+    represented ONLY by its stored (g, n_occurrences) gram-count
+    table, never re-tokenized. A batch gram is duplicated when
+    corpus occurrences + batch occurrences reach min_count.
+
+    Exactness: the batch-side output equals the batch-id slice of a
+    full span_dedup over corpus ∪ batch — a gram's total count is
+    exactly the sum of the two sides' counts (gated in tests).
+
+    100 TB shape: the corpus table is consulted via a left_semi probe
+    restricted to the batch's (delta-sized, broadcastable) gram keys
+    — streamed past partition-pruned, never shuffled or re-derived;
+    everything else is the batch-local span_dedup plan. State update:
+    append the batch's span_gram_counts by summing per g.
+    `release=<list>` persists the batch's gram rows (one
+    tokenize+md5 pass), appended for the caller to unpersist."""
+    grams = _span_gram_rows(new_docs, n, id_col, text_col)
+    if release is not None:
+        grams = grams.persist()
+        release.append(grams)
+    batch_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_bc"))
+    hits = corpus_counts.select(
+        "g", F.col("n_occurrences").alias("_cc")
+    ).join(batch_counts.select("g"), "g", "left_semi")
+    dup = (
+        batch_counts.join(hits, "g", "left")
+        .filter(
+            F.coalesce(F.col("_cc"), F.lit(0)) + F.col("_bc") >= min_count
+        )
+        .select("g")
+    )
+    return _span_apply(new_docs, grams, dup, n, id_col, text_col)

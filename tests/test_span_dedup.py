@@ -107,3 +107,55 @@ def test_release_contract_single_pass(spark):
     assert len(release) == 1
     for f in release:
         f.unpersist()
+
+
+def test_incremental_span_dedup_matches_full_run(spark):
+    """The per-crawl-batch shape: batch deduped against ONLY the
+    stored (g, n_occurrences) corpus table must equal the batch-id
+    slice of a full span_dedup over corpus ∪ batch — cross-side spans
+    (one corpus + one batch occurrence) cut, batch-internal spans
+    cut, corpus-only spans invisible to the batch, unique text
+    survives. State update: occurrence counts add across epochs."""
+    boiler = "one two three"
+    corpus = spark.createDataFrame(
+        [
+            (0, f"c0 head {boiler} c0 tail"),
+            (1, "corpus only words here now"),
+            (2, "repeated inside corpus repeated inside corpus"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, f"b0 lead {boiler} b0 end"),
+            (11, "shared batch span aa bb"),
+            (12, "shared batch span cc dd"),
+            (13, "totally unique batch words"),
+        ],
+        "doc_id long, text string",
+    )
+    from crawler_spark.ops import dedup as dd
+
+    state = dd.span_gram_counts(corpus, n=3)
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens_removed)
+        for r in dd.incremental_span_dedup(batch, state, n=3).collect()
+    }
+    full = {
+        r.doc_id: (r.clean_text, r.n_tokens_removed)
+        for r in dd.span_dedup(corpus.unionByName(batch), n=3).collect()
+        if r.doc_id >= 10
+    }
+    assert got == full
+    assert got[10] == ("b0 lead b0 end", 3)       # cross-side
+    assert got[11] == ("aa bb", 3)                # batch-internal
+    assert got[13][1] == 0                        # untouched
+    merged = (
+        state.unionByName(dd.span_gram_counts(batch, n=3))
+        .groupBy("g")
+        .agg(F.sum("n_occurrences").alias("n_occurrences"))
+    )
+    direct = dd.span_gram_counts(corpus.unionByName(batch), n=3)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
