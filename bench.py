@@ -172,6 +172,22 @@ def main() -> None:
         spark, sf_dir).count())
     pbench("p7_bpe_token_counts", lambda: contract.q_bpe_token_counts(
         spark, sf_dir).count())
+
+    # p8 uses the release shape (one tokenize+md5 gram pass feeding
+    # the count agg and the coverage join), like q6/p4
+    def q_spans():
+        from crawler_spark.ops import dedup
+
+        release: list = []
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n = dedup.span_dedup(docs, n=8, release=release).count()
+        for f in release:
+            f.unpersist()
+        return n
+
+    pbench("p8_span_dedup", q_spans)
+    pbench("p9_anchor_topk", lambda: contract.q_anchor_text_topk(
+        spark, sf_dir).count())
     extras["pipeline"] = pipeline
     out = {
         "metric": "headline suite wall time",

@@ -1160,13 +1160,23 @@ def _ws_tokens(text: Column) -> Column:
     )
 
 
-def _span_gram_rows(
-    docs: DataFrame, n: int, id_col: str, text_col: str
+def _span_token_docs(
+    docs: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
+    """(id, _ts): the ONE tokenize pass of the span family — every
+    downstream branch (gram hashing, reassembly, token counts) reads
+    this frame, so persisting it under the release contract makes the
+    text scan + tokenize run exactly once. NULL text drops here (the
+    no-output-row convention of exact_dedup)."""
+    return docs.select(
+        F.col(id_col), _ws_tokens(F.col(text_col)).alias("_ts")
+    ).filter(F.col("_ts").isNotNull())
+
+
+def _span_gram_rows(toks: DataFrame, n: int, id_col: str) -> DataFrame:
     """(id, pos, g): md5 of each space-joined n-token window at
-    0-based token position pos — the shared explode pass of the span
-    family. Docs with fewer than n tokens contribute no rows."""
-    toks = docs.select(F.col(id_col), _ws_tokens(F.col(text_col)).alias("_ts"))
+    0-based token position pos, from the tokenized frame. Docs with
+    fewer than n tokens contribute no rows."""
     return toks.select(
         F.col(id_col),
         F.posexplode(
@@ -1216,35 +1226,38 @@ def span_dedup(
     is bounded by the doc's own token count, exactly like
     line_dedup's. No window, no per-row Python, no driver state.
 
-    Materialization contract (persist-and-release): the gram rows
-    feed the count agg AND the coverage join, so `release=<list>`
-    persists them — ONE tokenize+md5 pass — for the caller to
-    unpersist after its downstream action; `release=None` stays lazy
-    (driver-owned contract queries). NULL text: as in exact_dedup,
-    NULL-text rows get no output row — filter upstream."""
-    grams = _span_gram_rows(docs, n, id_col, text_col)
+    Materialization contract (persist-and-release): the tokenized
+    (id, _ts) frame feeds the gram hashing, the reassembly explode,
+    AND the per-doc token counts, so `release=<list>` persists it —
+    ONE text scan + tokenize pass for all three branches — for the
+    caller to unpersist after its downstream action; `release=None`
+    stays lazy (driver-owned contract queries). NULL text: as in
+    exact_dedup, NULL-text rows get no output row — filter
+    upstream."""
+    toks = _span_token_docs(docs, id_col, text_col)
     if release is not None:
-        grams = grams.persist()
-        release.append(grams)
+        toks = toks.persist()
+        release.append(toks)
+    grams = _span_gram_rows(toks, n, id_col)
     dup = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("_c"))
         .filter(F.col("_c") >= min_count)
         .select("g")
     )
-    return _span_apply(docs, grams, dup, n, id_col, text_col)
+    return _span_apply(toks, grams, dup, n, id_col)
 
 
 def _span_apply(
-    docs: DataFrame,
+    toks: DataFrame,
     grams: DataFrame,
     dup: DataFrame,
     n: int,
     id_col: str,
-    text_col: str,
 ) -> DataFrame:
     """Cut every token covered by a gram in the `dup` verdict table
-    and reassemble — the shared back half of the span family."""
+    and reassemble — the shared back half of the span family, reading
+    only the tokenized (id, _ts) frame."""
     covered = (
         grams.join(dup, "g", "left_semi")
         .select(
@@ -1255,10 +1268,10 @@ def _span_apply(
         )
         .distinct()
     )
-    toks = docs.select(
-        F.col(id_col), F.posexplode(_ws_tokens(F.col(text_col))).alias("_t", "_tok")
+    trows = toks.select(
+        F.col(id_col), F.posexplode(F.col("_ts")).alias("_t", "_tok")
     )
-    flagged = toks.join(covered, [id_col, "_t"], "left_anti")
+    flagged = trows.join(covered, [id_col, "_t"], "left_anti")
     kept = flagged.groupBy(F.col(id_col)).agg(
         F.concat_ws(
             " ",
@@ -1271,9 +1284,7 @@ def _span_apply(
         ).alias("clean_text"),
         F.count(F.lit(1)).cast("long").alias("_nk"),
     )
-    base = docs.select(
-        F.col(id_col), F.size(_ws_tokens(F.col(text_col))).alias("_n")
-    ).filter(F.col(text_col).isNotNull())
+    base = toks.select(F.col(id_col), F.size(F.col("_ts")).alias("_n"))
     return (
         base.join(kept, id_col, "left")
         .select(
@@ -1298,7 +1309,7 @@ def span_gram_counts(
     maintain by SUMMING each admitted batch's counts in: occurrence
     totals add across any partition of the corpus into batches)."""
     return (
-        _span_gram_rows(docs, n, id_col, text_col)
+        _span_gram_rows(_span_token_docs(docs, id_col, text_col), n, id_col)
         .groupBy("g")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
@@ -1329,12 +1340,14 @@ def incremental_span_dedup(
     — streamed past partition-pruned, never shuffled or re-derived;
     everything else is the batch-local span_dedup plan. State update:
     append the batch's span_gram_counts by summing per g.
-    `release=<list>` persists the batch's gram rows (one
-    tokenize+md5 pass), appended for the caller to unpersist."""
-    grams = _span_gram_rows(new_docs, n, id_col, text_col)
+    `release=<list>` persists the batch's tokenized frame (one text
+    scan + tokenize for every branch), appended for the caller to
+    unpersist."""
+    toks = _span_token_docs(new_docs, id_col, text_col)
     if release is not None:
-        grams = grams.persist()
-        release.append(grams)
+        toks = toks.persist()
+        release.append(toks)
+    grams = _span_gram_rows(toks, n, id_col)
     batch_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_bc"))
     hits = corpus_counts.select(
         "g", F.col("n_occurrences").alias("_cc")
@@ -1346,4 +1359,4 @@ def incremental_span_dedup(
         )
         .select("g")
     )
-    return _span_apply(new_docs, grams, dup, n, id_col, text_col)
+    return _span_apply(toks, grams, dup, n, id_col)
