@@ -981,6 +981,26 @@ def q_span_dedup(spark, sf_dir):
     return dedup.span_dedup(docs, n=8, min_count=2)
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style perplexity scoring: interpolated bigram LM trained
+    on the English slice of documents (the trusted reference), scored
+    over the whole corpus. lam=0.75 so both interpolation weights are
+    binary-exact literals in Spark AND DuckDB; doubles at 4dp (the
+    dsir convention). Unscorable docs (< 2 tokens) keep NULL scores
+    with n_bigrams = 0."""
+    from .ops import lm as lm_mod
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    uni, bi = lm_mod.train_bigram_lm(docs.filter(F.col("lang") == "en"))
+    scored = lm_mod.lm_perplexity(docs, uni, bi, lam=0.75)
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("avg_logp", 4).alias("avg_logp"),
+        F.round("ppl", 4).alias("ppl"),
+    )
+
+
 def q_dedup_incremental_spans(spark, sf_dir):
     """Batch-vs-corpus span dedup: the corpus participates only
     through its stored (g, n_occurrences) gram-count table
@@ -1099,6 +1119,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_assign": q_shard_assign,
     "span_dedup": q_span_dedup,
     "dedup_incremental_spans": q_dedup_incremental_spans,
+    "lm_perplexity": q_lm_perplexity,
     "mc_pagerank": q_mc_pagerank,
     "ppr_source0": q_ppr_source0,
     "ppr_many_sources": q_ppr_many_sources,
@@ -2277,4 +2298,47 @@ from sd_toks b left join sd_kept k using (doc_id)
     # corpus-counts must equal the batch-id slice of a full span run
     # over corpus ∪ batch (= all documents), re-derived from scratch
     "dedup_incremental_spans": _SPAN_SQL + " where b.doc_id % 3 = 0",
+    # mirrors q_lm_perplexity / ops/lm exactly: [a-z0-9]+ tokens,
+    # consecutive-pair bigrams, pre-folded c1, add-one unigram
+    # smoothing, lam = 0.75 (binary-exact), ln/avg/exp at 4dp
+    "lm_perplexity": """
+with lm_ref as (
+  select regexp_extract_all(lower(text), '[a-z0-9]+') as ts
+  from documents where lang = 'en'
+), lm_uc as (
+  select w, count(*)::bigint as c
+  from (select unnest(ts) as w from lm_ref) group by w
+), lm_bic as (
+  select b.w1, b.w2, b.c12, u.c as c1
+  from (select ts[i] as w1, ts[i + 1] as w2, count(*)::bigint as c12
+        from lm_ref, unnest(generate_series(1, len(ts) - 1)) s(i)
+        group by 1, 2) b
+  join lm_uc u on u.w = b.w1
+), lm_norm as (
+  select sum(c)::double as nn, count(*)::double as vv from lm_uc
+), lm_docs as (
+  select doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') as ts
+  from documents
+), lm_pairs as (
+  select doc_id, ts[i] as w1, ts[i + 1] as w2
+  from lm_docs, unnest(generate_series(1, len(ts) - 1)) s(i)
+), lm_lp as (
+  select p.doc_id,
+         ln(0.75 * coalesce(b.c12::double / b.c1, 0.0)
+            + 0.25 * (coalesce(u.c, 0) + 1.0) / (n.nn + n.vv)) as lp
+  from lm_pairs p
+  left join lm_bic b on b.w1 = p.w1 and b.w2 = p.w2
+  left join lm_uc u on u.w = p.w2
+  cross join lm_norm n
+), lm_doc as (
+  select doc_id, count(*)::bigint as n_bigrams, avg(lp) as a
+  from lm_lp group by doc_id
+)
+select d.doc_id,
+       coalesce(l.n_bigrams, 0)::bigint as n_bigrams,
+       round(l.a, 4) as avg_logp,
+       round(exp(-l.a), 4) as ppl
+from (select distinct doc_id from documents) d
+left join lm_doc l using (doc_id)
+""",
 }
