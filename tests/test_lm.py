@@ -128,3 +128,53 @@ def test_ppl_tiers_thirds(spark):
     # lowest-ppl scored docs are head, highest are tail
     assert tiers[order[0]] == "head" and tiers[order[-1]] == "tail"
     assert set(tiers.values()) >= {"head", "middle", "tail"}
+
+
+def test_lm_scores_per_microbatch_match_batch(spark, tmp_path):
+    """Streaming form: scoring runs per admitted micro-batch via
+    foreachBatch against the FIXED trained tables (the per-doc
+    aggregate never crosses batches, so per-batch output equals one
+    batch pass over the union) — the composition an ingest pipeline
+    uses for the perplexity gate."""
+    ref = [(i, "the cat sat on the mat and the dog ran home") for i in range(3)]
+    uni, bi = _train_rows(spark, ref)
+    uni, bi = uni.persist(), bi.persist()
+    rows = [
+        (i, ["the cat sat on the mat", "zq xv wk jj", "x", ""][i % 4])
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "lm_docs")
+    docs.filter(F.col("doc_id") < 10).coalesce(1).write.parquet(src)
+    docs.filter(F.col("doc_id") >= 10).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    got = {}
+
+    def on_batch(bdf, _bid):
+        for r in lm.lm_perplexity(bdf, uni, bi).collect():
+            got[r.doc_id] = (r.n_bigrams, r.avg_logp, r.ppl)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ck_lm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    want = {
+        r.doc_id: (r.n_bigrams, r.avg_logp, r.ppl)
+        for r in lm.lm_perplexity(docs, uni, bi).collect()
+    }
+    uni.unpersist(), bi.unpersist()
+    assert set(got) == set(want) == set(range(20))
+    for d in want:
+        assert got[d][0] == want[d][0], d
+        if want[d][1] is None:
+            assert got[d][1] is None, d
+        else:
+            assert abs(got[d][1] - want[d][1]) < 1e-12, d
+            assert abs(got[d][2] - want[d][2]) < 1e-12, d
