@@ -94,14 +94,19 @@ def _anchors_one(
     """(href, anchor-text) pairs of a page. Same conventions as
     _links_one: no/self hrefs dropped, >MAX_OUTLINKS_TAGS skips the
     page, undecodable bytes skip the anchor, result unique + sorted.
-    Anchor text is the tag body with nested markup stripped, entities
-    decoded (one pass), and whitespace collapsed — an empty body is
-    kept as '' (bare image links still carry the target)."""
+    The skip cap counts OPEN href tags (the same count _links_one
+    caps on), not closed <a>...</a> elements — so both extractors
+    skip exactly the same malformed pages even when most anchors are
+    unclosed. Anchor text is the tag body with nested markup
+    stripped, entities decoded (one pass), and whitespace collapsed —
+    an empty body is kept as '' (bare image links still carry the
+    target)."""
     if html is None:
         return []
-    ms = _ANCHOR_RE.findall(html)
-    if len(ms) == 0 or len(ms) > MAX_OUTLINKS_TAGS:
+    n_tags = len(_HREF_RE.findall(html))
+    if n_tags == 0 or n_tags > MAX_OUTLINKS_TAGS:
         return []
+    ms = _ANCHOR_RE.findall(html)
     out = set()
     for href_b, body in ms:
         try:

@@ -29,19 +29,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.extract import extract_anchors
+from ..functions.extract import canonical_url, extract_anchors, is_valid_url
 
 
 def anchor_pairs(
     pages: DataFrame,
     url_col: str = "url",
     html_col: str = "html",
+    validate: bool = True,
 ) -> DataFrame:
     """(src_url, dst_url, anchor) — one row per distinct
     (target, anchor-text) pair on each page (per-page dedup happens
     inside the extraction UDF, so a nav bar repeating one link 40
-    times still counts the page once)."""
-    return (
+    times still counts the page once).
+
+    `validate` (default True) keeps only absolute http(s) targets
+    (is_valid_url — the same gate link edges pass before minting)
+    and folds each through canonical_url, so the per-target rollup
+    aggregates on canonical keys. Without it, relative hrefs like
+    '/about' from DIFFERENT sites would collide under one bogus
+    target, and case/query-order variants of one real target would
+    split its counts. Pass validate=False only for raw-edge
+    debugging."""
+    raw = (
         pages.select(
             F.col(url_col).alias("src_url"),
             F.explode(
@@ -53,6 +63,24 @@ def anchor_pairs(
             F.col("a.href").alias("dst_url"),
             F.col("a.anchor").alias("anchor"),
         )
+    )
+    if not validate:
+        return raw
+    return (
+        # canonicalize BEFORE the validity gate (unlike the frontier,
+        # which by design rejects 'HTTP://x' raw): the rollup wants
+        # one key per real target, and canonical_url lowercases the
+        # scheme/host that is_valid_url matches case-sensitively
+        raw.select(
+            "src_url",
+            canonical_url(F.col("dst_url")).alias("dst_url"),
+            "anchor",
+        )
+        .filter(is_valid_url(F.col("dst_url")))
+        # two raw variants of one target on one page fold to one
+        # canonical row — re-dedup so count(*) in anchor_counts
+        # stays exactly the page count
+        .distinct()
     )
 
 

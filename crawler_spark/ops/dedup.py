@@ -1228,10 +1228,12 @@ def span_dedup(
 
     Materialization contract (persist-and-release): the tokenized
     (id, _ts) frame feeds the gram hashing, the reassembly explode,
-    AND the per-doc token counts, so `release=<list>` persists it —
-    ONE text scan + tokenize pass for all three branches — for the
-    caller to unpersist after its downstream action; `release=None`
-    stays lazy (driver-owned contract queries). NULL text: as in
+    AND the per-doc token counts, and the GRAM rows feed both the
+    count agg and the coverage join — so `release=<list>` persists
+    both frames (ONE text scan + tokenize, ONE md5-per-window
+    hashing pass, for every branch) and appends them for the caller
+    to unpersist after its downstream action; `release=None` stays
+    lazy (driver-owned contract queries). NULL text: as in
     exact_dedup, NULL-text rows get no output row — filter
     upstream."""
     toks = _span_token_docs(docs, id_col, text_col)
@@ -1239,6 +1241,9 @@ def span_dedup(
         toks = toks.persist()
         release.append(toks)
     grams = _span_gram_rows(toks, n, id_col)
+    if release is not None:
+        grams = grams.persist()
+        release.append(grams)
     dup = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -1340,14 +1345,17 @@ def incremental_span_dedup(
     — streamed past partition-pruned, never shuffled or re-derived;
     everything else is the batch-local span_dedup plan. State update:
     append the batch's span_gram_counts by summing per g.
-    `release=<list>` persists the batch's tokenized frame (one text
-    scan + tokenize for every branch), appended for the caller to
-    unpersist."""
+    `release=<list>` persists the batch's tokenized AND gram frames
+    (one text scan + tokenize, one md5 hashing pass, for every
+    branch), appended for the caller to unpersist."""
     toks = _span_token_docs(new_docs, id_col, text_col)
     if release is not None:
         toks = toks.persist()
         release.append(toks)
     grams = _span_gram_rows(toks, n, id_col)
+    if release is not None:
+        grams = grams.persist()
+        release.append(grams)
     batch_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_bc"))
     hits = corpus_counts.select(
         "g", F.col("n_occurrences").alias("_cc")

@@ -29,11 +29,13 @@ NULL with n_bigrams = 0 (gate on n_bigrams, don't guess).
     joins for it.
   - scoring tokenizes the crawl ONCE into a projected column (the
     tokenize-once contract of ops/dsir), explodes consecutive pairs,
-    and left-joins the two count tables — vocabulary-sized dimension
-    tables that broadcast for any real reference corpus; the crawl
-    is never shuffled beyond its own per-doc aggregate. Hot stopword
-    bigrams skew the probe side only (broadcast join: no shuffle to
-    skew).
+    and left-joins the two count tables. The unigram table is
+    vocabulary-sized; the BIGRAM table is distinct-bigram-sized
+    (~10^8-10^9 rows for a Wikipedia-scale reference) — so neither
+    join is FORCED broadcast: AQE broadcasts what fits and falls
+    back to a shuffle join on the key otherwise, where hot stopword
+    bigrams are split by AQE skew-join. The crawl side contributes
+    one exchange per join at most, plus its own per-doc aggregate.
   - the N/V normalizers ride a crossJoin of ONE aggregated row
     (the mixture_rates idiom), never a collect.
 
@@ -111,16 +113,24 @@ def lm_perplexity(
 ) -> DataFrame:
     """(id, n_bigrams, avg_logp, ppl) per document under the
     interpolated bigram model — the CCNet scoring pass. NULL-text
-    and < 2-token docs report n_bigrams = 0 with NULL scores."""
+    and < 2-token docs report n_bigrams = 0 with NULL scores, and
+    n_bigrams counts SCORED bigrams (count of non-NULL logprobs), so
+    the "gate on n_bigrams" convention holds even against an empty
+    reference table (every lp NULL -> n_bigrams 0, loudly wrong
+    downstream instead of silently passing unscored docs). lam must
+    be in [0, 1): lam = 1 disables the smoothing term and unseen
+    bigrams would hit log(0)."""
+    if not 0.0 <= lam < 1.0:
+        raise ValueError("lam must be in [0, 1)")
     norm = unigrams.agg(
         F.sum("c").cast("double").alias("_N"),
         F.count(F.lit(1)).cast("double").alias("_V"),
     )
     pairs = _bigram_rows(docs, id_col, text_col)
     scored = (
-        pairs.join(F.broadcast(bigrams), ["w1", "w2"], "left")
+        pairs.join(bigrams, ["w1", "w2"], "left")
         .join(
-            F.broadcast(unigrams.select(F.col("w").alias("w2"), F.col("c").alias("_c2"))),
+            unigrams.select(F.col("w").alias("w2"), F.col("c").alias("_c2")),
             "w2",
             "left",
         )
@@ -137,7 +147,7 @@ def lm_perplexity(
         )
     )
     per_doc = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.count("_lp").cast("long").alias("n_bigrams"),
         F.avg("_lp").alias("avg_logp"),
     )
     base = docs.select(F.col(id_col)).distinct()
@@ -154,16 +164,25 @@ def ppl_tiers(
     q1: float = 1.0 / 3.0,
     q2: float = 2.0 / 3.0,
     id_col: str = "doc_id",
+    exact: bool = False,
 ) -> DataFrame:
-    """CCNet's head/middle/tail labeling: exact ppl percentiles at q1
-    and q2 over the scored docs (one aggregate row, crossJoined) cut
-    the corpus into tiers — 'head' (fluent, ppl <= q1 cut), 'middle',
+    """CCNet's head/middle/tail labeling: ppl percentiles at q1 and
+    q2 over the scored docs (one aggregate row, crossJoined) cut the
+    corpus into tiers — 'head' (fluent, ppl <= q1 cut), 'middle',
     'tail' (> q2 cut, the drop candidates). Unscorable docs
     (n_bigrams = 0) label NULL. Two scalar cut points ride a
-    broadcast; no window, no sort of the corpus."""
+    broadcast; no window, no sort of the corpus.
+
+    Default cuts use percentile_approx (Spark's mergeable
+    bounded-memory sketch — ppl is distinct per doc, so EXACT
+    percentile's aggregation buffer would hold every value and
+    funnel a corpus-sized map through one final merge; the
+    corpus_profile trade, same reasoning). exact=True switches to
+    exact percentile for small/auditable corpora."""
+    fn = "percentile" if exact else "percentile_approx"
     cuts = scored.filter(F.col("ppl").isNotNull()).agg(
-        F.expr(f"percentile(ppl, {q1!r})").alias("_q1"),
-        F.expr(f"percentile(ppl, {q2!r})").alias("_q2"),
+        F.expr(f"{fn}(ppl, {q1!r})").alias("_q1"),
+        F.expr(f"{fn}(ppl, {q2!r})").alias("_q2"),
     )
     return scored.crossJoin(F.broadcast(cuts)).select(
         id_col,

@@ -182,8 +182,13 @@ def write_shards(
     full shuffle (it IS the product); the within-partition sort spills
     if a shard exceeds memory, it never funnels shards into one task."""
     out = shard_assign(docs, n_shards, seed, id_col, val_frac)
+    # one partition per (split, shard) GROUP, not per shard: with a
+    # val split there are 2*n_shards groups, and hashing them into
+    # n_shards partitions would pigeonhole >= 2 whole shards into
+    # some tasks (halving write parallelism and stacking sort spill)
+    n_groups = n_shards * (2 if 0.0 < val_frac < 1.0 else 1)
     (
-        out.repartition(n_shards, F.col("split"), F.col("shard"))
+        out.repartition(n_groups, F.col("split"), F.col("shard"))
         .sortWithinPartitions("split", "shard", "pos", id_col)
         .write.mode("overwrite")
         .partitionBy("split", "shard")

@@ -130,3 +130,47 @@ def test_anchor_pairs_and_topk_match_pandas(spark, page_df):
     ) == sorted(map(tuple, exp_top.itertuples(index=False)))
     # every dst keeps at most k rows and ranks are 1..k
     assert topk.groupby("dst_url")["rn"].max().le(k).all()
+
+
+def test_relative_and_messy_hrefs_normalized_or_dropped(spark):
+    """The rollup aggregates on canonical ABSOLUTE keys: relative
+    hrefs (which would collide across sites) drop, and case/query
+    variants of one target fold to one canonical row per page."""
+    rows = [
+        (
+            "https://a.test/",
+            b'<a href="/about">rel</a>'
+            b'<a href="HTTP://T.Test:80/x?b=2&a=1">v1</a>',
+        ),
+        (
+            "https://b.test/",
+            b'<a href="/about">rel</a>'
+            b'<a href="http://t.test/x?a=1&b=2">v1</a>',
+        ),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    pairs = anchors.anchor_pairs(df)
+    got = sorted(map(tuple, pairs.collect()))
+    assert got == [
+        ("https://a.test/", "http://t.test/x?a=1&b=2", "v1"),
+        ("https://b.test/", "http://t.test/x?a=1&b=2", "v1"),
+    ]
+    top = anchors.anchor_text_topk(pairs, k=1).collect()
+    assert len(top) == 1 and top[0]["n_pages"] == 2
+    # raw mode keeps everything for debugging
+    assert anchors.anchor_pairs(df, validate=False).count() == 4
+
+
+def test_page_variants_fold_to_one_count(spark):
+    """Two raw variants of ONE target on one page must count the
+    page once after canonical folding (the post-fold distinct)."""
+    rows = [
+        (
+            "https://a.test/",
+            b'<a href="https://t.test/p">go</a>'
+            b'<a href="https://t.test/p#frag">go</a>',
+        )
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = anchors.anchor_counts(anchors.anchor_pairs(df)).collect()
+    assert len(out) == 1 and out[0]["n_pages"] == 1

@@ -178,3 +178,24 @@ def test_lm_scores_per_microbatch_match_batch(spark, tmp_path):
         else:
             assert abs(got[d][1] - want[d][1]) < 1e-12, d
             assert abs(got[d][2] - want[d][2]) < 1e-12, d
+
+
+def test_empty_reference_reports_zero_scored_bigrams(spark):
+    """n_bigrams counts SCORED bigrams: against an empty reference
+    every logprob is NULL, so docs report n_bigrams = 0 (the gate
+    convention holds — nothing silently passes as scored)."""
+    uni, bi = _train_rows(spark, [(0, "")])
+    docs = spark.createDataFrame(
+        [(1, "a b c d")], "doc_id long, text string"
+    )
+    got = lm.lm_perplexity(docs, uni, bi).collect()[0]
+    assert got["n_bigrams"] == 0
+    assert got["avg_logp"] is None and got["ppl"] is None
+
+
+def test_lam_out_of_range_raises(spark):
+    uni, bi = _train_rows(spark, [(0, "a b")])
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    for bad in (1.0, -0.1, 1.5):
+        with pytest.raises(ValueError):
+            lm.lm_perplexity(docs, uni, bi, lam=bad)

@@ -104,7 +104,9 @@ def test_release_contract_single_pass(spark):
     out = dedup.span_dedup(df, n=3, release=release)
     got = {r["doc_id"]: r["n_tokens_removed"] for r in out.collect()}
     assert all(v == 3 for v in got.values())  # "shared span here"
-    assert len(release) == 1
+    # both the tokenized frame AND the gram rows persist (one
+    # tokenize pass, one md5-hashing pass across all branches)
+    assert len(release) == 2
     for f in release:
         f.unpersist()
 
