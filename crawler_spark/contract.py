@@ -981,6 +981,48 @@ def q_span_dedup(spark, sf_dir):
     return dedup.span_dedup(docs, n=8, min_count=2)
 
 
+def q_c4_filters(spark, sf_dir):
+    """C4 cleanup rules (Raffel et al. 2020 §2.2) over the multiline
+    corpus with planted violations: 0-3 terminal-punctuated keeper
+    lines per doc (doc_id%5), a blocklisted token (%17), a brace
+    (%19), lorem ipsum (%23), and a javascript line (%29). The
+    oracle mirrors every rule and the first-failing attribution."""
+    did = F.col("doc_id")
+    base = _multiline_docs(spark, sf_dir)
+    extra = F.concat(
+        *[
+            F.when(
+                did % 5 >= j,
+                F.concat(
+                    F.lit("\nplanted keeper line number "),
+                    ((did + j) % 7).cast("string"),
+                    F.lit(" stays here."),
+                ),
+            ).otherwise(F.lit(""))
+            for j in (1, 2, 3)
+        ],
+        F.when(
+            did % 17 == 0, F.lit("\nthe contraband token sits here fine.")
+        ).otherwise(F.lit("")),
+        F.when(did % 19 == 0, F.lit("\ncode { sample } line")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            did % 23 == 0, F.lit("\nLorem ipsum dolor sit amet.")
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 29 == 0,
+            F.lit("\nplease enable javascript to continue reading now."),
+        ).otherwise(F.lit("")),
+    )
+    docs = base.select(
+        "doc_id", F.concat(F.col("text"), extra).alias("text")
+    )
+    return textstats.c4_filters(
+        docs, min_line_words=4, min_lines=2, blocklist=("contraband",)
+    )
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style perplexity scoring: interpolated bigram LM trained
     on the English slice of documents (the trusted reference), scored
@@ -1120,6 +1162,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_dedup": q_span_dedup,
     "dedup_incremental_spans": q_dedup_incremental_spans,
     "lm_perplexity": q_lm_perplexity,
+    "c4_filters": q_c4_filters,
     "mc_pagerank": q_mc_pagerank,
     "ppr_source0": q_ppr_source0,
     "ppr_many_sources": q_ppr_many_sources,
@@ -2340,5 +2383,63 @@ select d.doc_id,
        round(exp(-l.a), 4) as ppl
 from (select distinct doc_id from documents) d
 left join lm_doc l using (doc_id)
+""",
+    # mirrors q_c4_filters / ops/textstats.c4_filters exactly: the
+    # multiline corpus + planted violations, the terminal-punct /
+    # min-words / javascript line rules, and the first-failing doc
+    # attribution (lorem_ipsum > brace > blocklist > too_few_lines)
+    "c4_filters": r"""
+with c4_aug as (
+  select doc_id,
+    replace(text, ' value ', chr(10))
+    || case when doc_id % 4 = 0
+            then chr(10) || 'all rights reserved footer' else '' end
+    || case when doc_id % 9 = 0
+            then chr(10) || 'subscribe to our newsletter' else '' end
+    || case when doc_id % 5 >= 1 then chr(10)
+            || 'planted keeper line number ' || ((doc_id + 1) % 7)
+            || ' stays here.' else '' end
+    || case when doc_id % 5 >= 2 then chr(10)
+            || 'planted keeper line number ' || ((doc_id + 2) % 7)
+            || ' stays here.' else '' end
+    || case when doc_id % 5 >= 3 then chr(10)
+            || 'planted keeper line number ' || ((doc_id + 3) % 7)
+            || ' stays here.' else '' end
+    || case when doc_id % 17 = 0 then chr(10)
+            || 'the contraband token sits here fine.' else '' end
+    || case when doc_id % 19 = 0 then chr(10)
+            || 'code { sample } line' else '' end
+    || case when doc_id % 23 = 0 then chr(10)
+            || 'Lorem ipsum dolor sit amet.' else '' end
+    || case when doc_id % 29 = 0 then chr(10)
+            || 'please enable javascript to continue reading now.'
+            else '' end
+    as text
+  from documents
+), c4_k as (
+  select doc_id, text,
+    list_filter(string_split(text, chr(10)),
+      l -> right(trim(l), 1) in ('.', '!', '?', '"', '''')
+           and len(list_filter(regexp_split_to_array(trim(l), '\s+'),
+                               x -> len(x) > 0)) >= 4
+           and not contains(lower(l), 'javascript')) as kept,
+    len(string_split(text, chr(10))) as n_total
+  from c4_aug
+), c4_r as (
+  select doc_id, kept, n_total,
+    case when contains(lower(text), 'lorem ipsum') then 'lorem_ipsum'
+         when contains(text, '{') then 'brace'
+         when list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                            'contraband') then 'blocklist'
+         when len(kept) < 2 then 'too_few_lines' end as reason
+  from c4_k
+)
+select doc_id,
+       coalesce(array_to_string(kept, chr(10)), '') as clean_text,
+       len(kept)::bigint as n_lines_kept,
+       (n_total - len(kept))::bigint as n_lines_dropped,
+       reason is null as keep,
+       reason
+from c4_r
 """,
 }

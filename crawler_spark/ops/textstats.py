@@ -616,3 +616,69 @@ def corpus_profile(
         q(length).alias("len_q"),
         q(ntok).alias("tok_q"),
     )
+
+
+def c4_filters(
+    docs: "DataFrame",
+    min_line_words: int = 5,
+    min_lines: int = 3,
+    blocklist: tuple = (),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """(doc_id, clean_text, n_lines_kept, n_lines_dropped, keep,
+    reason): the C4 cleanup rules (Raffel et al. 2020 §2.2 — the
+    original web-corpus line/document filter set):
+
+      line level — keep a line only if its trimmed form ends in a
+      terminal punctuation mark ('.', '!', '?', or a closing quote),
+      has >= min_line_words whitespace words, and does not mention
+      'javascript' (C4 drops cookie/JS-warning boilerplate lines);
+      doc level — drop any page containing 'lorem ipsum'
+      (placeholder text), a '{' (source code), a blocklisted word
+      (token-exact match on the corpus [a-z0-9]+ convention; C4 used
+      a public profanity list — pass your own), or fewer than
+      min_lines surviving lines.
+
+    reason = first failing doc check ('lorem_ipsum' | 'brace' |
+    'blocklist' | 'too_few_lines', null when kept); clean_text = the
+    surviving lines rejoined (reported even for dropped docs so
+    drop-rate dashboards can inspect what the rules left). NULL text
+    classifies as 'too_few_lines' deterministically.
+
+    Scale shape: every rule is a pure column expression over the one
+    text pass — line split, per-line word counts, and the keeps are
+    higher-order array functions; zero shuffle, whole-stage codegen,
+    the corpus_filter shape. Compose AFTER corpus_filter's gates or
+    standalone."""
+    t = F.col(text_col)
+    lt = F.lower(t)
+    tl = lambda l: F.trim(l)  # noqa: E731
+    words = lambda l: F.filter(  # noqa: E731
+        F.split(F.trim(l), r"\s+"), lambda x: F.length(x) > 0
+    )
+    line_keep = lambda l: (  # noqa: E731
+        F.substring(F.trim(l), -1, 1).isin(".", "!", "?", '"', "'")
+        & (F.size(words(l)) >= min_line_words)
+        & ~F.lower(l).contains("javascript")
+    )
+    kept = F.filter(F.split(t, "\n"), line_keep)
+    n_kept = F.coalesce(F.size(kept), F.lit(0))
+    n_total = F.coalesce(F.size(F.split(t, "\n")), F.lit(0))
+    blocked = F.lit(False)
+    for w in blocklist:
+        blocked = blocked | F.array_contains(_tokens_arr(t), w.lower())
+    reason = (
+        F.when(F.coalesce(lt.contains("lorem ipsum"), F.lit(False)), F.lit("lorem_ipsum"))
+        .when(F.coalesce(t.contains("{"), F.lit(False)), F.lit("brace"))
+        .when(F.coalesce(blocked, F.lit(False)), F.lit("blocklist"))
+        .when(n_kept < min_lines, F.lit("too_few_lines"))
+    )
+    return docs.select(
+        F.col(id_col),
+        F.coalesce(F.concat_ws("\n", kept), F.lit("")).alias("clean_text"),
+        n_kept.cast("long").alias("n_lines_kept"),
+        (n_total - n_kept).cast("long").alias("n_lines_dropped"),
+        reason.isNull().alias("keep"),
+        reason.alias("reason"),
+    )

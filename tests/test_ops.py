@@ -1667,3 +1667,47 @@ def test_corpus_profile_hand_computed(spark):
         assert ap[lang].total_chars == got[lang].total_chars
         for v in ap[lang].len_q:
             assert 0 <= v <= 9
+
+
+def test_c4_filters_rules(spark):
+    """C4 cleanup (Raffel et al. 2020 §2.2): terminal-punctuation +
+    min-words + javascript line rules; lorem-ipsum / brace /
+    blocklist / too-few-lines doc rules with first-failing
+    attribution; NULL text classifies as too_few_lines."""
+    from crawler_spark.ops import textstats
+
+    good = "this is a fine sentence here.\nanother good long line stays!"
+    rows = [
+        (0, good + "\nthird keeper line is great?"),          # kept
+        (1, "no terminal punctuation here\nshort one.\n" + good),  # 2 keeps < 3
+        (2, "Lorem Ipsum dolor sit amet.\n" + good),          # lorem_ipsum
+        (3, "function f() { return 1; }\n" + good),           # brace
+        (4, "the spamword appears right here today.\n" + good),  # blocklist
+        (5, "enable javascript to view this page now.\n" + good),  # js line dropped
+        (6, None),
+        (7, ""),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in textstats.c4_filters(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            min_line_words=5,
+            min_lines=3,
+            blocklist=("spamword",),
+        ).collect()
+    }
+    assert out[0]["keep"] and out[0]["reason"] is None
+    assert out[0]["n_lines_kept"] == 3 and out[0]["n_lines_dropped"] == 0
+    assert not out[1]["keep"] and out[1]["reason"] == "too_few_lines"
+    assert out[1]["n_lines_kept"] == 2
+    assert out[2]["reason"] == "lorem_ipsum"
+    assert out[3]["reason"] == "brace"
+    assert out[4]["reason"] == "blocklist"
+    # the javascript line drops but the doc survives on the others
+    assert not out[5]["keep"] and out[5]["reason"] == "too_few_lines"
+    assert "javascript" not in out[5]["clean_text"]
+    for i in (6, 7):
+        assert out[i]["reason"] == "too_few_lines"
+        assert out[i]["clean_text"] == "" and out[i]["n_lines_kept"] == 0
+    # kept lines rejoin in order
+    assert out[0]["clean_text"].split("\n")[0] == good.split("\n")[0]
