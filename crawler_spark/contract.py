@@ -981,6 +981,56 @@ def q_span_dedup(spark, sf_dir):
     return dedup.span_dedup(docs, n=8, min_count=2)
 
 
+def q_url_filter(spark, sf_dir):
+    """RefinedWeb-style pre-fetch URL gate over deterministic urls
+    from event ids: blocked domains (exact + parent suffix), keyword
+    spam scoring, validity — with first-failing attribution. The
+    oracle mirrors the score arithmetic and the suffix match."""
+    uid = F.col("uid")
+    m = uid % 12
+    us = uid.cast("string")
+    url = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("https://blocked"), (uid % 3).cast("string"),
+                F.lit(".test/p"), us,
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("https://sub.blocked"), (uid % 3).cast("string"),
+                F.lit(".test/p"), us,
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("https://ok.test/free-casino-download-"), us
+            ),
+        )
+        .when(m == 3, F.concat(F.lit("ftp://bad"), us))
+        .otherwise(
+            F.concat(
+                F.lit("https://host"), (uid % 20).cast("string"),
+                F.lit(".test/u"), us,
+            )
+        )
+    )
+    urls = (
+        _t(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("uid"))
+        .distinct()
+        .select(url.alias("url"))
+    )
+    blocked = spark.createDataFrame(
+        [("blocked0.test",), ("blocked1.test",), ("blocked2.test",)],
+        "domain string",
+    )
+    return extract_mod.url_filter(urls, blocked, max_spam_score=2)
+
+
 def q_c4_filters(spark, sf_dir):
     """C4 cleanup rules (Raffel et al. 2020 §2.2) over the multiline
     corpus with planted violations: 0-3 terminal-punctuated keeper
@@ -1163,6 +1213,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental_spans": q_dedup_incremental_spans,
     "lm_perplexity": q_lm_perplexity,
     "c4_filters": q_c4_filters,
+    "url_filter": q_url_filter,
     "mc_pagerank": q_mc_pagerank,
     "ppr_source0": q_ppr_source0,
     "ppr_many_sources": q_ppr_many_sources,
@@ -2441,5 +2492,55 @@ select doc_id,
        reason is null as keep,
        reason
 from c4_r
+""",
+    # mirrors q_url_filter / functions.extract.url_filter exactly:
+    # same url construction, hard/soft keyword weights, digit and
+    # tail-length bumps, parent-suffix domain match, attribution
+    "url_filter": r"""
+with uf_u as (select distinct user_id as uid from events),
+uf_urls as (
+  select case
+    when uid % 12 = 0 then 'https://blocked' || (uid % 3) || '.test/p' || uid
+    when uid % 12 = 1 then 'https://sub.blocked' || (uid % 3) || '.test/p' || uid
+    when uid % 12 = 2 then 'https://ok.test/free-casino-download-' || uid
+    when uid % 12 = 3 then 'ftp://bad' || uid
+    else 'https://host' || (uid % 20) || '.test/u' || uid end as url
+  from uf_u
+), uf_s as (
+  select url, lower(url) as u,
+    regexp_extract(lower(url), '^https?://([^/?#]+)', 1) as host
+  from uf_urls
+), uf_sc as (
+  select url, host,
+    (case when contains(u, 'porn') then 2 else 0 end
+     + case when contains(u, 'casino') then 2 else 0 end
+     + case when contains(u, 'viagra') then 2 else 0 end
+     + case when contains(u, 'webcam') then 2 else 0 end
+     + case when contains(u, 'escort') then 2 else 0 end
+     + case when contains(u, 'download') then 1 else 0 end
+     + case when contains(u, 'free') then 1 else 0 end
+     + case when contains(u, 'click') then 1 else 0 end
+     + case when contains(u, 'deal') then 1 else 0 end
+     + case when contains(u, 'sale') then 1 else 0 end
+     + case when len(regexp_replace(u, '[^0-9]', '', 'g')) > 4
+            then 1 else 0 end
+     + case when len(u) - len(host) > 120 then 1 else 0 end
+    )::int as spam_score,
+    (host in ('blocked0.test', 'blocked1.test', 'blocked2.test')
+     or host like '%.blocked0.test' or host like '%.blocked1.test'
+     or host like '%.blocked2.test') as blocked,
+    (url like 'https://%' or url like 'http://%')
+      and len(url) <= 2048
+      and regexp_extract(url, '^https?://([^/?#]+)', 1) <> '' as valid
+  from uf_s
+)
+select url, spam_score,
+  (case when not valid then 'invalid'
+        when blocked then 'blocked_domain'
+        when spam_score > 2 then 'spam' end) is null as keep,
+  case when not valid then 'invalid'
+       when blocked then 'blocked_domain'
+       when spam_score > 2 then 'spam' end as reason
+from uf_sc
 """,
 }

@@ -201,3 +201,93 @@ def canonical_url(col) -> "F.Column":
         F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(q, "&")), "&"))
     )
     return F.when(sh == "", col).otherwise(F.concat(shl, path, qc))
+
+
+# ---- URL-level quality filtering (RefinedWeb / FineWeb stage 1) ----
+#
+# List-driven: the caller supplies the blocklist (RefinedWeb used a
+# public adult/fraud domain blocklist plus keyword scoring on the
+# url string); here the mechanics are the product — a broadcast
+# domain-dimension join over the batch's DISTINCT HOSTS plus pure
+# column expressions, so the gate runs inside the scan's codegen
+# and the frontier is never shuffled for it.
+
+URL_BAD_WORDS = ("porn", "casino", "viagra", "webcam", "escort")
+URL_SOFT_WORDS = ("download", "free", "click", "deal", "sale")
+
+
+def url_spam_score(col) -> "F.Column":
+    """Keyword spam score of the URL STRING (RefinedWeb's url
+    scoring shape): hard words count 2, soft words 1, plus 1 if the
+    url has > 4 digits or a very long (> 120 char) path+query. Pure
+    column math on the lowercased url."""
+    u = F.lower(col)
+    score = F.lit(0)
+    for w in URL_BAD_WORDS:
+        score = score + F.when(u.contains(w), F.lit(2)).otherwise(F.lit(0))
+    for w in URL_SOFT_WORDS:
+        score = score + F.when(u.contains(w), F.lit(1)).otherwise(F.lit(0))
+    n_digits = F.length(F.regexp_replace(u, "[^0-9]", ""))
+    tail = F.length(u) - F.length(url_host(u))
+    return (
+        score
+        + F.when(n_digits > 4, F.lit(1)).otherwise(F.lit(0))
+        + F.when(tail > 120, F.lit(1)).otherwise(F.lit(0))
+    ).cast("int")
+
+
+def url_filter(
+    urls,
+    blocked_domains=None,
+    max_spam_score: int = 2,
+    url_col: str = "url",
+):
+    """(input cols) + (spam_score, keep, reason): the pre-fetch URL
+    admission gate (RefinedWeb/FineWeb run it before ANY fetch —
+    cheapest filter first). reason = 'invalid' (fails is_valid_url)
+    | 'blocked_domain' (host or a parent domain in the blocklist)
+    | 'spam' (score > max_spam_score), null when kept.
+
+    `blocked_domains`: DataFrame of (domain) — matched against the
+    host AND every parent suffix (sub.evil.test blocks under
+    evil.test). The match runs at HOST granularity: the batch's
+    distinct hosts explode into their suffix sets (~4 rows/host),
+    semi-join the broadcast blocklist, and the resulting blocked-host
+    dimension broadcasts back onto the urls — the frontier itself is
+    never shuffled, and the intermediate is bounded by the batch's
+    host count, not its url count."""
+    from pyspark.sql import functions as _F
+
+    host = url_host(_F.col(url_col))
+    score = url_spam_score(_F.col(url_col))
+    out = urls.withColumn("_host", host).withColumn("spam_score", score)
+    if blocked_domains is not None:
+        suffixes = _F.expr(
+            "transform(sequence(1, size(split(_host, '\\\\.'))), "
+            "i -> array_join(slice(split(_host, '\\\\.'), i, "
+            "size(split(_host, '\\\\.'))), '.'))"
+        )
+        bhosts = (
+            out.select("_host")
+            .distinct()
+            .select("_host", _F.explode(suffixes).alias("domain"))
+            .join(_F.broadcast(blocked_domains), "domain", "left_semi")
+            .select("_host")
+            .distinct()
+            .withColumn("_blk", _F.lit(True))
+        )
+        out = out.join(_F.broadcast(bhosts), "_host", "left").withColumn(
+            "_blocked", _F.coalesce(_F.col("_blk"), _F.lit(False))
+        ).drop("_blk")
+    else:
+        out = out.withColumn("_blocked", _F.lit(False))
+    reason = (
+        _F.when(~is_valid_url(_F.col(url_col)), _F.lit("invalid"))
+        .when(_F.col("_blocked"), _F.lit("blocked_domain"))
+        .when(_F.col("spam_score") > max_spam_score, _F.lit("spam"))
+    )
+    return (
+        out.withColumn("keep", reason.isNull())
+        .withColumn("reason", reason)
+        .drop("_host", "_blocked")
+    )

@@ -136,3 +136,37 @@ def test_extract_text_skips_undecodable_paragraph(spark):
     df = spark.createDataFrame(pd.DataFrame({"h": [html]}))
     got = df.select(extract.extract_text(F.col("h"))).first()[0]
     assert got == "ok\ntwo"
+
+
+def test_url_spam_score_and_filter(spark):
+    """RefinedWeb-style pre-fetch URL gate: keyword spam scoring,
+    parent-suffix domain blocking, validity, and attribution."""
+    rows = [
+        ("https://good.test/article/history",),          # kept
+        ("https://a.test/free-casino-download",),        # spam 2+1+1=4
+        ("https://sub.evil.test/page",),                 # blocked (parent)
+        ("https://evil.test/",),                         # blocked (exact)
+        ("ftp://bad.test/x",),                           # invalid
+        ("https://num.test/p/1234567890",),              # digits -> +1 only
+    ]
+    urls = spark.createDataFrame(rows, "url string")
+    blocked = spark.createDataFrame([("evil.test",)], "domain string")
+    got = {
+        r["url"]: (r["keep"], r["reason"], r["spam_score"])
+        for r in extract.url_filter(
+            urls, blocked, max_spam_score=2
+        ).collect()
+    }
+    assert got["https://good.test/article/history"] == (True, None, 0)
+    k, rsn, sc = got["https://a.test/free-casino-download"]
+    assert (k, rsn) == (False, "spam") and sc >= 3
+    assert got["https://sub.evil.test/page"][:2] == (False, "blocked_domain")
+    assert got["https://evil.test/"][:2] == (False, "blocked_domain")
+    assert got["ftp://bad.test/x"][:2] == (False, "invalid")
+    assert got["https://num.test/p/1234567890"] == (True, None, 1)
+    # no blocklist: everything valid + under-threshold keeps
+    got2 = {
+        r["url"]: r["keep"]
+        for r in extract.url_filter(urls, None, max_spam_score=2).collect()
+    }
+    assert got2["https://sub.evil.test/page"] is True
