@@ -51,13 +51,30 @@ def enqueue(
     urls: DataFrame,
     now: _dt.datetime,
     spark: SparkSession | None = None,
+    url_gate: dict | None = None,
 ) -> DataFrame:
     """Add (url, node_id?) rows to the frontier in state 'queued'.
     Already-present urls are not re-queued (anti-join on url), and
     duplicates WITHIN the batch collapse to one row (max priority,
     min node_id) — a url queued twice would double-count against its
     host's politeness budget and then multiply through every
-    scheduler tick's url join."""
+    scheduler tick's url join.
+
+    `url_gate` (optional, opt-in) runs the RefinedWeb-style
+    pre-fetch quality gate BEFORE anything enters the frontier —
+    the cheapest filter at the cheapest point (a url dropped here
+    never costs a politeness slot, a robots probe, or a fetch).
+    Keys are extract.url_filter's kwargs: {'blocked_domains': df,
+    'max_spam_score': int}. Default None = gate off, enqueue
+    bit-unchanged."""
+    if url_gate is not None:
+        from .functions.extract import url_filter
+
+        urls = (
+            url_filter(urls, **url_gate)
+            .filter(F.col("keep"))
+            .drop("spam_score", "keep", "reason")
+        )
     cols = urls.columns
     new = (
         urls.select(

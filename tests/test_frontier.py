@@ -869,3 +869,29 @@ def test_schedule_multiple_disallow_rows_per_host(spark):
     }
     assert blocked == {"https://m.test/p1", "https://m.test/q1"}
     assert fr2.count() == 4  # no row multiplication
+
+
+def test_enqueue_url_gate_filters_before_frontier(spark):
+    """The opt-in pre-fetch gate drops blocked/spam/invalid urls
+    BEFORE they enter the frontier (no politeness slot, no robots
+    probe, no fetch); default enqueue stays bit-unchanged."""
+    import datetime as dt
+
+    urls = spark.createDataFrame(
+        [
+            ("https://good.test/a", 1),
+            ("https://evil.test/b", 2),
+            ("https://ok.test/free-casino-download", 3),
+            ("ftp://junk", 4),
+        ],
+        "url string, node_id long",
+    )
+    blocked = spark.createDataFrame([("evil.test",)], "domain string")
+    now = dt.datetime(2025, 1, 1)
+    fr = frontier.enqueue(
+        None, urls, now,
+        url_gate={"blocked_domains": blocked, "max_spam_score": 2},
+    )
+    assert sorted(r["url"] for r in fr.collect()) == ["https://good.test/a"]
+    # gate off: everything enqueues (the pre-existing behavior)
+    assert frontier.enqueue(None, urls, now).count() == 4
