@@ -51,9 +51,12 @@ def main() -> None:
             "array_join(transform(sequence(1, 110), "
             "i -> concat('t', hex(xxhash64(id, i)))), ' ')"
         )
+        # pmod(id/5, 50), NOT pmod(id, 50): passage docs all satisfy
+        # id % 5 == 0, so pmod(id, 50) would only hit residues
+        # {0,5,...,45} — 10 passages 5x hotter than documented
         passage = F.expr(
             "array_join(transform(sequence(1, 12), "
-            "i -> concat('p', pmod(id, 50), 'w', i)), ' ')"
+            "i -> concat('p', pmod(id div 5, 50), 'w', i)), ' ')"
         )
         return (
             spark.range(n_docs)
@@ -85,7 +88,12 @@ def main() -> None:
         sec = time.time() - t0
         for f in release:
             f.unpersist()
-        docs.unpersist()
+        # DataFrame.unpersist() is a NO-OP for localCheckpoint blocks
+        # — without the explicit free, each level's corpus stays in
+        # the BlockManager while the next level runs
+        from crawler_spark.session import free_local_checkpoint
+
+        free_local_checkpoint(docs)
         results.append(
             {
                 "n_docs": n_docs,

@@ -989,19 +989,21 @@ def q_url_filter(spark, sf_dir):
     uid = F.col("uid")
     m = uid % 12
     us = uid.cast("string")
+    # the domain index must be independent of m: uid%12==0 forces
+    # uid%3==0, which would pin the fixture to blocked0 only and
+    # leave the other blocklist rows dead
+    dom = (F.floor(uid / 12) % 3).cast("string")
     url = (
         F.when(
             m == 0,
             F.concat(
-                F.lit("https://blocked"), (uid % 3).cast("string"),
-                F.lit(".test/p"), us,
+                F.lit("https://blocked"), dom, F.lit(".test/p"), us
             ),
         )
         .when(
             m == 1,
             F.concat(
-                F.lit("https://sub.blocked"), (uid % 3).cast("string"),
-                F.lit(".test/p"), us,
+                F.lit("https://sub.blocked"), dom, F.lit(".test/p"), us
             ),
         )
         .when(
@@ -2500,8 +2502,10 @@ from c4_r
 with uf_u as (select distinct user_id as uid from events),
 uf_urls as (
   select case
-    when uid % 12 = 0 then 'https://blocked' || (uid % 3) || '.test/p' || uid
-    when uid % 12 = 1 then 'https://sub.blocked' || (uid % 3) || '.test/p' || uid
+    when uid % 12 = 0
+      then 'https://blocked' || ((uid // 12) % 3) || '.test/p' || uid
+    when uid % 12 = 1
+      then 'https://sub.blocked' || ((uid // 12) % 3) || '.test/p' || uid
     when uid % 12 = 2 then 'https://ok.test/free-casino-download-' || uid
     when uid % 12 = 3 then 'ftp://bad' || uid
     else 'https://host' || (uid % 20) || '.test/u' || uid end as url

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import schemas
-from .functions.extract import url_host
+from .functions.extract import url_filter, url_host
 from .walks_gen import (
     generate_walks,
     next_walk_id,
@@ -68,8 +68,6 @@ def enqueue(
     'max_spam_score': int}. Default None = gate off, enqueue
     bit-unchanged."""
     if url_gate is not None:
-        from .functions.extract import url_filter
-
         urls = (
             url_filter(urls, **url_gate)
             .filter(F.col("keep"))

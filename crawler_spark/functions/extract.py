@@ -250,41 +250,46 @@ def url_filter(
 
     `blocked_domains`: DataFrame of (domain) — matched against the
     host AND every parent suffix (sub.evil.test blocks under
-    evil.test). The match runs at HOST granularity: the batch's
-    distinct hosts explode into their suffix sets (~4 rows/host),
-    semi-join the broadcast blocklist, and the resulting blocked-host
-    dimension broadcasts back onto the urls — the frontier itself is
-    never shuffled, and the intermediate is bounded by the batch's
-    host count, not its url count."""
-    from pyspark.sql import functions as _F
-
-    host = url_host(_F.col(url_col))
-    score = url_spam_score(_F.col(url_col))
+    evil.test), CASE-INSENSITIVELY on both sides (hosts are
+    case-insensitive per RFC 4343, and the engine admits raw-case
+    urls by default — 'https://EVIL.test' must not slip a lowercase
+    blocklist). The match runs at HOST granularity: the batch's
+    distinct lowercased hosts explode into their suffix sets
+    (~4 rows/host), semi-join the broadcast lowercased blocklist,
+    and the resulting blocked-host dimension broadcasts back onto
+    the urls — the frontier itself is never shuffled, and the
+    intermediate is bounded by the batch's host count, not its url
+    count."""
+    host = F.lower(url_host(F.col(url_col)))
+    score = url_spam_score(F.col(url_col))
     out = urls.withColumn("_host", host).withColumn("spam_score", score)
     if blocked_domains is not None:
-        suffixes = _F.expr(
+        suffixes = F.expr(
             "transform(sequence(1, size(split(_host, '\\\\.'))), "
             "i -> array_join(slice(split(_host, '\\\\.'), i, "
             "size(split(_host, '\\\\.'))), '.'))"
         )
+        blocked_lc = blocked_domains.select(
+            F.lower(F.col("domain")).alias("domain")
+        )
         bhosts = (
             out.select("_host")
             .distinct()
-            .select("_host", _F.explode(suffixes).alias("domain"))
-            .join(_F.broadcast(blocked_domains), "domain", "left_semi")
+            .select("_host", F.explode(suffixes).alias("domain"))
+            .join(F.broadcast(blocked_lc), "domain", "left_semi")
             .select("_host")
             .distinct()
-            .withColumn("_blk", _F.lit(True))
+            .withColumn("_blk", F.lit(True))
         )
-        out = out.join(_F.broadcast(bhosts), "_host", "left").withColumn(
-            "_blocked", _F.coalesce(_F.col("_blk"), _F.lit(False))
+        out = out.join(F.broadcast(bhosts), "_host", "left").withColumn(
+            "_blocked", F.coalesce(F.col("_blk"), F.lit(False))
         ).drop("_blk")
     else:
-        out = out.withColumn("_blocked", _F.lit(False))
+        out = out.withColumn("_blocked", F.lit(False))
     reason = (
-        _F.when(~is_valid_url(_F.col(url_col)), _F.lit("invalid"))
-        .when(_F.col("_blocked"), _F.lit("blocked_domain"))
-        .when(_F.col("spam_score") > max_spam_score, _F.lit("spam"))
+        F.when(~is_valid_url(F.col(url_col)), F.lit("invalid"))
+        .when(F.col("_blocked"), F.lit("blocked_domain"))
+        .when(F.col("spam_score") > max_spam_score, F.lit("spam"))
     )
     return (
         out.withColumn("keep", reason.isNull())

@@ -653,7 +653,6 @@ def c4_filters(
     standalone."""
     t = F.col(text_col)
     lt = F.lower(t)
-    tl = lambda l: F.trim(l)  # noqa: E731
     words = lambda l: F.filter(  # noqa: E731
         F.split(F.trim(l), r"\s+"), lambda x: F.length(x) > 0
     )
@@ -665,9 +664,17 @@ def c4_filters(
     kept = F.filter(F.split(t, "\n"), line_keep)
     n_kept = F.coalesce(F.size(kept), F.lit(0))
     n_total = F.coalesce(F.size(F.split(t, "\n")), F.lit(0))
-    blocked = F.lit(False)
-    for w in blocklist:
-        blocked = blocked | F.array_contains(_tokens_arr(t), w.lower())
+    # ONE arrays_overlap against a literal array, not an OR-chain of
+    # array_contains terms — a real blocklist is ~400 words, and 400
+    # subtrees each re-embedding the tokenize split would blow past
+    # codegen method-size limits on the corpus-wide hot path
+    if blocklist:
+        blocked = F.arrays_overlap(
+            _tokens_arr(t),
+            F.lit([w.lower() for w in blocklist]).cast("array<string>"),
+        )
+    else:
+        blocked = F.lit(False)
     reason = (
         F.when(F.coalesce(lt.contains("lorem ipsum"), F.lit(False)), F.lit("lorem_ipsum"))
         .when(F.coalesce(t.contains("{"), F.lit(False)), F.lit("brace"))

@@ -170,3 +170,22 @@ def test_url_spam_score_and_filter(spark):
         for r in extract.url_filter(urls, None, max_spam_score=2).collect()
     }
     assert got2["https://sub.evil.test/page"] is True
+
+
+def test_url_filter_blocklist_case_insensitive(spark):
+    """Hosts are case-insensitive (RFC 4343) and the engine admits
+    raw-case urls — 'https://EVIL.test' must not slip a lowercase
+    blocklist, and a mixed-case blocklist row must still block."""
+    urls = spark.createDataFrame(
+        [("https://EVIL.test/x",), ("https://sub.Evil.TEST/y",),
+         ("https://fine.test/z",)],
+        "url string",
+    )
+    blocked = spark.createDataFrame([("Evil.test",)], "domain string")
+    got = {
+        r["url"]: r["reason"]
+        for r in extract.url_filter(urls, blocked).collect()
+    }
+    assert got["https://EVIL.test/x"] == "blocked_domain"
+    assert got["https://sub.Evil.TEST/y"] == "blocked_domain"
+    assert got["https://fine.test/z"] is None
