@@ -981,6 +981,32 @@ def q_span_dedup(spark, sf_dir):
     return dedup.span_dedup(docs, n=8, min_count=2)
 
 
+def q_host_stats(spark, sf_dir):
+    """Per-host crawl-ops rollup (ops/anchors.host_stats) over
+    deterministic pages: the standard user urls (1-in-7 malformed —
+    those land in the '' host group) with synthetic text of 1..7
+    tokens and NULL text for uid%13 — the oracle mirrors the url
+    construction, the token-count convention, and the derived
+    average."""
+    uid = F.col("uid")
+    pages = (
+        _t(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("uid"))
+        .distinct()
+        .select(
+            _user_url(uid).alias("url"),
+            F.when(uid % 13 == 0, F.lit(None).cast("string"))
+            .otherwise(
+                F.concat(
+                    F.lit("w "), F.repeat(F.lit("tok "), (uid % 7).cast("int"))
+                )
+            )
+            .alias("text"),
+        )
+    )
+    return anchors.host_stats(pages)
+
+
 def q_url_filter(spark, sf_dir):
     """RefinedWeb-style pre-fetch URL gate over deterministic urls
     from event ids: blocked domains (exact + parent suffix), keyword
@@ -1216,6 +1242,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_perplexity": q_lm_perplexity,
     "c4_filters": q_c4_filters,
     "url_filter": q_url_filter,
+    "host_stats": q_host_stats,
     "mc_pagerank": q_mc_pagerank,
     "ppr_source0": q_ppr_source0,
     "ppr_many_sources": q_ppr_many_sources,
@@ -2546,5 +2573,35 @@ select url, spam_score,
        when blocked then 'blocked_domain'
        when spam_score > 2 then 'spam' end as reason
 from uf_sc
+""",
+    # mirrors q_host_stats / ops/anchors.host_stats exactly: same url
+    # construction, whitespace token-count convention, NULL-text
+    # handling, and the sums-derived average
+    "host_stats": f"""
+with hs_u as (select distinct user_id as uid from events),
+hs_p as (
+  select {_USER_URL_SQL.format(c="uid")} as url,
+         case when uid % 13 = 0 then null
+              else 'w ' || repeat('tok ', uid % 7) end as text
+  from hs_u
+), hs_t as (
+  select lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) as host,
+         text,
+         case when text is null then 0
+              when len(trim(text)) = 0 then 0
+              else len(regexp_split_to_array(trim(text), '\\s+'))
+         end as tc
+  from hs_p
+), hs_a as (
+  select host, count(*)::bigint as n_pages,
+         sum(case when text is not null then 1 else 0 end)::bigint
+           as n_with_text,
+         sum(tc)::bigint as total_tokens
+  from hs_t group by host
+)
+select host, n_pages, n_with_text, total_tokens,
+       round(total_tokens::double / greatest(n_with_text, 1), 6)
+         as avg_tokens
+from hs_a
 """,
 }

@@ -109,3 +109,46 @@ def anchor_text_topk(pairs: DataFrame, k: int = 5) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
     )
+
+
+def host_stats(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """(host, n_pages, n_with_text, total_tokens, avg_tokens): the
+    per-host crawl-ops rollup — the table politeness tuning, domain
+    blocklist review, and mixture weighting read (ops/sampling's
+    domain_stats keyed by the url's HOST instead of a source label,
+    for corpora that carry urls rather than curated source tags).
+
+    One map-side-combined groupBy(host); the result is
+    host-dimension-sized. A hot domain concentrates its rows into
+    one GROUP but never one task beyond the partial-agg merge (the
+    same argument as every count rollup here); avg_tokens is derived
+    from the two exact sums, never a second pass."""
+    from ..functions.extract import url_host
+    from .textstats import token_count
+
+    t = F.col(text_col)
+    return (
+        pages.groupBy(F.lower(url_host(F.col(url_col))).alias("host"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(t.isNotNull().cast("long")).alias("n_with_text"),
+            F.sum(
+                F.coalesce(token_count(t), F.lit(0)).cast("long")
+            ).alias("total_tokens"),
+        )
+        .select(
+            "host",
+            "n_pages",
+            "n_with_text",
+            "total_tokens",
+            F.round(
+                F.col("total_tokens")
+                / F.greatest(F.col("n_with_text"), F.lit(1)),
+                6,
+            ).alias("avg_tokens"),
+        )
+    )

@@ -174,3 +174,49 @@ def test_page_variants_fold_to_one_count(spark):
     df = spark.createDataFrame(rows, "url string, html binary")
     out = anchors.anchor_counts(anchors.anchor_pairs(df)).collect()
     assert len(out) == 1 and out[0]["n_pages"] == 1
+
+
+def test_anchor_pairs_per_microbatch_match_batch(spark, tmp_path, page_df):
+    """Streaming form: anchor extraction + validation runs per
+    admitted micro-batch via foreachBatch (the pairs are per-page,
+    so per-batch output equals one batch pass over the union) — the
+    ingest composition that feeds the rollup's maintained state."""
+    src = str(tmp_path / "anchor_pages")
+    page_df.filter(F.col("url") < "https://src2").coalesce(1).write.parquet(src)
+    page_df.filter(F.col("url") >= "https://src2").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    got = []
+
+    def on_batch(bdf, _bid):
+        got.extend(map(tuple, anchors.anchor_pairs(bdf).collect()))
+
+    q = (
+        spark.readStream.schema("url string, html binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ck_anchor"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    want = sorted(map(tuple, anchors.anchor_pairs(page_df).collect()))
+    assert sorted(got) == want and len(want) > 0
+
+
+def test_host_stats_rollup(spark):
+    """Per-host rollup: page counts, text coverage, exact token sums,
+    derived average; malformed urls land in the '' host group and
+    hosts fold case-insensitively."""
+    rows = [
+        ("https://A.test/1", "one two three"),
+        ("https://a.test/2", None),
+        ("https://b.test/1", "  "),
+        ("ftp://junk", "x y"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = {r["host"]: tuple(r)[1:] for r in anchors.host_stats(df).collect()}
+    assert got["a.test"] == (2, 1, 3, 3.0)
+    assert got["b.test"] == (1, 1, 0, 0.0)
+    assert got[""] == (1, 1, 2, 2.0)
